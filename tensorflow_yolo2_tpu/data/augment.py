@@ -1,0 +1,140 @@
+"""Host-side image IO + augmentation suite.
+
+Capability of reference src/img_dataset/ilsvrc2017_cls_multithread.py:320-415
+(image_read + data aug) and ilsvrc_cls_multithread_scipy.py:364-369 (random
+sign noise): flip / 0-359° rotation / HSV hue+saturation shift / gamma
+exposure shift / random crop from a short-side∈[image, upbound] rescale
+(75% chance) / ±ε uniform-sign noise — with the same probability structure
+so training curves are comparable.
+
+All augmentation runs on the host in numpy/cv2 (it is branchy, byte-level
+work the TPU is bad at); the normalized float batches are handed to the
+device by data.prefetch overlapped with the step.
+
+Reference pixel conventions preserved: images are read with cv2 in BGR
+unless ``rgb=True`` (pascal_voc.py:60-67 reads BGR; ilsvrc loader has an
+RGB flag) and scaled to [-1, 1] as ``(x/255)*2 - 1``.
+"""
+
+from __future__ import annotations
+
+import random
+from dataclasses import dataclass
+
+import cv2
+import numpy as np
+
+
+@dataclass
+class AugmentConfig:
+    image_size: int = 224
+    rand_crop_upbound: int = 292  # reference config.py:35
+    flip: bool = True
+    rotate: bool = True
+    color_pert: bool = True
+    exposure_shift: bool = True
+    random_crop: bool = True
+    # adversarial-robustness noise (ilsvrc_cls_multithread_scipy.py:364-369):
+    # epsilon chosen uniformly from {4, 8, 12, 16}/255 * 2, sign per pixel.
+    random_noise: bool = False
+
+
+def normalize(image: np.ndarray) -> np.ndarray:
+    """uint8 → float32 in [-1, 1] (reference pascal_voc.py:63-64)."""
+    return (image.astype(np.float32) / 255.0) * 2.0 - 1.0
+
+
+def image_read(path: str, image_size: int, rgb: bool = False,
+               flipped: bool = False) -> np.ndarray:
+    """Plain read+warp-resize+normalize (reference pascal_voc.py:60-67)."""
+    image = cv2.imread(path)
+    if image is None:
+        raise FileNotFoundError(path)
+    if rgb:
+        image = cv2.cvtColor(image, cv2.COLOR_BGR2RGB)
+    image = cv2.resize(image, (image_size, image_size))
+    image = normalize(image)
+    if flipped:
+        image = image[:, ::-1, :]
+    return image
+
+
+def augment_image(image: np.ndarray, cfg: AugmentConfig,
+                  rng: random.Random) -> np.ndarray:
+    """Apply the reference augmentation distribution to a BGR/RGB uint8
+    image; returns a float32 (image_size, image_size, 3) in [-1, 1]."""
+    size = cfg.image_size
+
+    do_flip = cfg.flip and bool(rng.getrandbits(1))
+    rotate_deg = rng.randint(0, 359) if cfg.rotate else 0
+    # 75% chance of random crop; otherwise plain warp-resize
+    crop_chance = rng.randint(0, 3) if cfg.random_crop else 0
+    do_color = cfg.color_pert and bool(rng.getrandbits(1))
+    do_exposure = cfg.exposure_shift and bool(rng.getrandbits(1))
+
+    if do_flip:
+        image = image[:, ::-1, :]
+
+    if cfg.rotate:
+        rows, cols, _ = image.shape
+        M = cv2.getRotationMatrix2D((cols / 2, rows / 2), rotate_deg, 1)
+        image = cv2.warpAffine(image, M, (cols, rows))
+
+    if do_color:
+        # uint8 HSV arithmetic with cv2's wraparound semantics, ±[0, 10]
+        hsv = cv2.cvtColor(image, cv2.COLOR_BGR2HSV)
+        hue = rng.randint(0, 10)
+        sat = rng.randint(0, 10)
+        if bool(rng.getrandbits(1)):
+            hsv[:, :, 0] += np.uint8(hue)
+        else:
+            hsv[:, :, 0] -= np.uint8(hue)
+        if bool(rng.getrandbits(1)):
+            hsv[:, :, 1] += np.uint8(sat)
+        else:
+            hsv[:, :, 1] -= np.uint8(sat)
+        image = cv2.cvtColor(hsv, cv2.COLOR_HSV2BGR)
+
+    if do_exposure:
+        gamma = rng.uniform(1, 2) if bool(rng.getrandbits(1)) else rng.uniform(0.5, 1)
+        image = (((image / 255.0) ** (1.0 / gamma)) * 255).astype(np.uint8)
+
+    too_small = False
+    if crop_chance > 0:
+        rows, cols, _ = image.shape
+        short_len = rng.randint(size, cfg.rand_crop_upbound)
+        if cols <= rows:
+            scaled_cols = short_len
+            scaled_rows = int(rows * short_len / float(cols))
+        else:
+            scaled_rows = short_len
+            scaled_cols = int(cols * short_len / float(rows))
+        if scaled_cols < size or scaled_rows < size:
+            too_small = True
+        else:
+            image = cv2.resize(image, (scaled_cols, scaled_rows))
+            co = rng.randint(0, scaled_cols - size)
+            ro = rng.randint(0, scaled_rows - size)
+            image = image[ro:ro + size, co:co + size]
+
+    if crop_chance == 0 or too_small:
+        image = cv2.resize(image, (size, size))
+
+    out = normalize(image)
+
+    if cfg.random_noise:
+        eps = rng.choice([4, 8, 12, 16]) / 255.0 * 2.0
+        sign = np.sign(np.random.uniform(-1, 1, out.shape)).astype(np.float32)
+        out = np.clip(out + eps * sign, -1.0, 1.0)
+
+    return out
+
+
+def read_and_augment(path: str, cfg: AugmentConfig, rng: random.Random,
+                     rgb: bool = False) -> np.ndarray:
+    image = cv2.imread(path)
+    if image is None:
+        raise FileNotFoundError(path)
+    if rgb:
+        image = cv2.cvtColor(image, cv2.COLOR_BGR2RGB)
+    return augment_image(image, cfg, rng)

@@ -1,0 +1,165 @@
+"""Pascal VOC2007 detection dataset.
+
+Capability of reference src/img_dataset/pascal_voc.py: VOC XML annotations
+→ per-image (S, S, 5+C) label grids with the exact reference semantics:
+
+- boxes converted to 0-based pixel coords in the *resized* (image_size²)
+  space via per-axis ratios (pascal_voc.py:131-156);
+- one object per cell, first object wins (:159-163);
+- label layout ``[responsible, cx, cy, w, h, one-hot class]``;
+- pickle cache ``cache/pascal_<set>_gt_labels.pkl`` (:88-123);
+- optional precomputed horizontally-flipped copies (:69-86);
+- ``get()`` returns sequential (images, labels) batches with epoch-end
+  reshuffle (:42-58); images are BGR, warp-resized, [-1, 1].
+
+The duck-typed interface (``.get()``, ``.classes``, ``.num_class``,
+``.epoch``, ``.total_batch``, ``.name``) is shared by every dataset in
+``data`` so trainers are dataset-agnostic (SURVEY §2 item 7).
+"""
+
+from __future__ import annotations
+
+import copy
+import os
+import pickle
+import xml.etree.ElementTree as ET
+
+import cv2
+import numpy as np
+
+from tensorflow_yolo2_tpu.config import VOC_CLASSES, Paths, YoloConfig
+from tensorflow_yolo2_tpu.data.augment import image_read
+
+
+class PascalVOC:
+    """VOC2007 imdb with YOLO grid labels."""
+
+    def __init__(self, image_set: str, batch_size: int = 48,
+                 yolo: YoloConfig = YoloConfig(), rebuild: bool = False,
+                 flipped: bool = False, paths: Paths | None = None,
+                 data_path: str | None = None):
+        self.name = "voc_2007"
+        self.paths = paths or Paths()
+        self.data_path = data_path or os.path.join(self.paths.pascal, "VOC2007")
+        self.cache_path = self.paths.cache
+        self.batch_size = batch_size
+        self.yolo = yolo
+        self.image_size = yolo.image_size
+        self.cell_size = yolo.S
+        self.classes = VOC_CLASSES
+        self.num_class = len(self.classes)
+        self.class_to_ind = {c: i for i, c in enumerate(self.classes)}
+        self.image_set = image_set
+        self.rebuild = rebuild
+        self.flipped = flipped
+        self.cursor = 0
+        self.epoch = 1
+        self.gt_labels: list[dict] = []
+        if not os.path.exists(self.data_path):
+            raise FileNotFoundError(
+                f"VOCdevkit path does not exist: {self.data_path}")
+        self.prepare()
+
+    # -- batching ------------------------------------------------------------
+
+    @property
+    def total_batch(self) -> int:
+        return max(1, len(self.gt_labels) // self.batch_size)
+
+    def get(self) -> tuple[np.ndarray, np.ndarray]:
+        """Next (images, labels) batch; reshuffles at epoch end
+        (reference pascal_voc.py:42-58)."""
+        images = np.zeros(
+            (self.batch_size, self.image_size, self.image_size, 3), np.float32)
+        labels = np.zeros(
+            (self.batch_size, self.cell_size, self.cell_size,
+             5 + self.num_class), np.float32)
+        for count in range(self.batch_size):
+            entry = self.gt_labels[self.cursor]
+            images[count] = image_read(entry["imname"], self.image_size,
+                                       flipped=entry["flipped"])
+            labels[count] = entry["label"]
+            self.cursor += 1
+            if self.cursor >= len(self.gt_labels):
+                np.random.shuffle(self.gt_labels)
+                self.cursor = 0
+                self.epoch += 1
+        return images, labels
+
+    # -- label preparation ---------------------------------------------------
+
+    def prepare(self):
+        gt_labels = self.load_labels()
+        if self.flipped:
+            # Precomputed flipped copies (reference pascal_voc.py:69-86):
+            # mirror the grid along x and reflect the stored cx pixel coord.
+            gt_flip = copy.deepcopy(gt_labels)
+            for entry in gt_flip:
+                entry["flipped"] = True
+                entry["label"] = entry["label"][:, ::-1, :]
+                resp = entry["label"][:, :, 0] == 1
+                entry["label"][:, :, 1] = np.where(
+                    resp, self.image_size - 1 - entry["label"][:, :, 1],
+                    entry["label"][:, :, 1])
+            gt_labels = gt_labels + gt_flip
+        np.random.shuffle(gt_labels)
+        self.gt_labels = gt_labels
+        return gt_labels
+
+    def load_labels(self) -> list[dict]:
+        cache_file = os.path.join(
+            self.cache_path, f"pascal_{self.image_set}_gt_labels.pkl")
+        if os.path.isfile(cache_file) and not self.rebuild:
+            with open(cache_file, "rb") as f:
+                return pickle.load(f)
+
+        os.makedirs(self.cache_path, exist_ok=True)
+        txtname = os.path.join(self.data_path, "ImageSets", "Main",
+                               self.image_set + ".txt")
+        with open(txtname) as f:
+            image_index = [x.strip() for x in f.readlines()]
+
+        gt_labels = []
+        for index in image_index:
+            label, num = self.load_annotation(index)
+            if num == 0:
+                continue
+            imname = os.path.join(self.data_path, "JPEGImages", index + ".jpg")
+            gt_labels.append(
+                {"imname": imname, "label": label, "flipped": False})
+        with open(cache_file, "wb") as f:
+            pickle.dump(gt_labels, f)
+        return gt_labels
+
+    def load_annotation(self, index: str) -> tuple[np.ndarray, int]:
+        """One VOC XML → (S, S, 5+C) grid (reference pascal_voc.py:125-165)."""
+        imname = os.path.join(self.data_path, "JPEGImages", index + ".jpg")
+        im = cv2.imread(imname)
+        h_ratio = float(self.image_size) / im.shape[0]
+        w_ratio = float(self.image_size) / im.shape[1]
+
+        label = np.zeros(
+            (self.cell_size, self.cell_size, 5 + self.num_class), np.float32)
+        filename = os.path.join(self.data_path, "Annotations", index + ".xml")
+        objs = ET.parse(filename).findall("object")
+        for obj in objs:
+            bbox = obj.find("bndbox")
+            # 0-based pixel coords in the resized space, clamped to the image
+            x1 = max(min((float(bbox.find("xmin").text) - 1) * w_ratio,
+                         self.image_size - 1), 0)
+            y1 = max(min((float(bbox.find("ymin").text) - 1) * h_ratio,
+                         self.image_size - 1), 0)
+            x2 = max(min((float(bbox.find("xmax").text) - 1) * w_ratio,
+                         self.image_size - 1), 0)
+            y2 = max(min((float(bbox.find("ymax").text) - 1) * h_ratio,
+                         self.image_size - 1), 0)
+            cls_ind = self.class_to_ind[obj.find("name").text.lower().strip()]
+            boxes = [(x2 + x1) / 2.0, (y2 + y1) / 2.0, x2 - x1, y2 - y1]
+            x_ind = int(boxes[0] * self.cell_size / self.image_size)
+            y_ind = int(boxes[1] * self.cell_size / self.image_size)
+            if label[y_ind, x_ind, 0] == 1:  # first object wins
+                continue
+            label[y_ind, x_ind, 0] = 1
+            label[y_ind, x_ind, 1:5] = boxes
+            label[y_ind, x_ind, 5 + cls_ind] = 1
+        return label, len(objs)

@@ -1,0 +1,164 @@
+"""Darknet19 backbone + heads in Flax.
+
+Capability of reference src/yolo2_nets/darknet.py:61-201, built per
+"YOLO9000: Better, Faster, Stronger":
+
+- :class:`Darknet19Backbone`  — the 18 conv_bn_leaky layers + 5 maxpools
+  producing a (H/32, W/32, 1024) feature map (reference
+  ``darknet19_core``, darknet.py:126-179);
+- :class:`Darknet19Classifier` — backbone + 1×1 conv to ``num_classes`` +
+  global average pool (reference ``darknet19``, darknet.py:61-123);
+- :class:`DetectionHead` / :class:`Darknet19Detector` — 3×(3×3×1024)
+  conv_bn + 1×1 output conv emitting the S×S detection grid (reference
+  ``darknet19_detection``, darknet.py:182-201).
+
+Reference quirk preserved behind a flag: BN + leaky-ReLU are applied even
+to the logits / output convs (darknet.py:115,198-200). ``bn_on_output=True``
+(default) reproduces that for checkpoint parity; ``False`` gives the
+idiomatic linear output.
+
+All convs are stride-1 SAME; downsampling is via 2×2 maxpool only, so any
+input multiple of 32 works (224 → S=7, 448 → S=14).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from tensorflow_yolo2_tpu.models.layers import ConvBN, avg_pool, max_pool
+
+# (kernel_size, features) per conv, with "M" = 2×2/2 maxpool between stages.
+# Mirrors the layer schedule at reference darknet.py:150-177.
+_DARKNET19_SCHEDULE: Sequence = (
+    (3, 32), "M",
+    (3, 64), "M",
+    (3, 128), (1, 64), (3, 128), "M",
+    (3, 256), (1, 128), (3, 256), "M",
+    (3, 512), (1, 256), (3, 512), (1, 256), (3, 512), "M",
+    (3, 1024), (1, 512), (3, 1024), (1, 512), (3, 1024),
+)
+
+
+class Darknet19Backbone(nn.Module):
+    """18-conv Darknet19 trunk → (H/32, W/32, 1024) features."""
+
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+    bn_axis_name: Optional[str] = None
+    # Inference fast path: construct with BN folded into the conv weights
+    # (see models.fold.fold_params) — BN params vanish from the tree.
+    fold_bn: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        conv_i = 0
+        for item in _DARKNET19_SCHEDULE:
+            if item == "M":
+                x = max_pool(x, 2, 2)
+            else:
+                k, f = item
+                conv_i += 1
+                x = ConvBN(f, kernel_size=k, use_bn=not self.fold_bn,
+                           dtype=self.dtype,
+                           param_dtype=self.param_dtype,
+                           bn_axis_name=self.bn_axis_name,
+                           name=f"conv{conv_i}")(x, train=train)
+        return x
+
+
+class Darknet19Classifier(nn.Module):
+    """Darknet19 ImageNet classifier: trunk + 1×1×C conv + global avgpool.
+
+    The reference applies BN+leaky to the 1×1 logits conv and then a 7×7
+    average pool (darknet.py:115-117); we pool over the full spatial map so
+    448² inputs also work.
+    """
+
+    num_classes: int = 1000
+    bn_on_output: bool = True
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+    bn_axis_name: Optional[str] = None
+    # Inference fast path: construct with BN folded into the conv weights
+    # (see models.fold.fold_params) — BN params vanish from the tree.
+    fold_bn: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        x = Darknet19Backbone(dtype=self.dtype, param_dtype=self.param_dtype,
+                              bn_axis_name=self.bn_axis_name,
+                              fold_bn=self.fold_bn,
+                              name="backbone")(x, train=train)
+        x = ConvBN(self.num_classes, kernel_size=1,
+                   use_bn=self.bn_on_output and not self.fold_bn,
+                   activate=self.bn_on_output,
+                   dtype=self.dtype, param_dtype=self.param_dtype,
+                   bn_axis_name=self.bn_axis_name,
+                   name="conv19")(x, train=train)
+        x = avg_pool(x, x.shape[1], x.shape[1])
+        return x.reshape(x.shape[0], self.num_classes).astype(jnp.float32)
+
+
+class DetectionHead(nn.Module):
+    """YOLO detection head: 3×(3×3×1024) conv_bn + 1×1 output conv
+    (reference darknet19_detection, darknet.py:182-201)."""
+
+    output_channels: int = 30  # 5B + C for the VOC config
+    bn_on_output: bool = True  # reference quirk: BN+leaky on the output conv
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+    bn_axis_name: Optional[str] = None
+    # Inference fast path: construct with BN folded into the conv weights
+    # (see models.fold.fold_params) — BN params vanish from the tree.
+    fold_bn: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        for i in range(1, 4):
+            x = ConvBN(1024, kernel_size=3, use_bn=not self.fold_bn,
+                       dtype=self.dtype,
+                       param_dtype=self.param_dtype,
+                       bn_axis_name=self.bn_axis_name,
+                       name=f"conv{i}")(x, train=train)
+        x = ConvBN(self.output_channels, kernel_size=1,
+                   use_bn=self.bn_on_output and not self.fold_bn,
+                   activate=self.bn_on_output,
+                   dtype=self.dtype, param_dtype=self.param_dtype,
+                   bn_axis_name=self.bn_axis_name,
+                   name="output")(x, train=train)
+        return x.astype(jnp.float32)
+
+
+class Darknet19Detector(nn.Module):
+    """Backbone + detection head → (batch, S, S, output_channels) grid.
+
+    Composition mirrors pascal_train_darknet.py:39-42 (core → detection →
+    reshape); the reshape is a no-op here because the head output is
+    already the grid.
+    """
+
+    output_channels: int = 30
+    bn_on_output: bool = True
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+    bn_axis_name: Optional[str] = None
+    # Inference fast path: construct with BN folded into the conv weights
+    # (see models.fold.fold_params) — BN params vanish from the tree.
+    fold_bn: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        x = Darknet19Backbone(dtype=self.dtype, param_dtype=self.param_dtype,
+                              bn_axis_name=self.bn_axis_name,
+                              fold_bn=self.fold_bn,
+                              name="backbone")(x, train=train)
+        x = DetectionHead(output_channels=self.output_channels,
+                          bn_on_output=self.bn_on_output,
+                          dtype=self.dtype, param_dtype=self.param_dtype,
+                          bn_axis_name=self.bn_axis_name,
+                          fold_bn=self.fold_bn,
+                          name="detection")(x, train=train)
+        return x

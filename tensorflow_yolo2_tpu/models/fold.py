@@ -1,0 +1,52 @@
+"""BatchNorm folding — the TPU inference fast path.
+
+At inference BN uses frozen moving statistics, so conv→BN collapses to a
+single conv with rescaled weights:
+
+    scale  = gamma / sqrt(moving_var + eps)
+    kernel' = kernel * scale          (per output channel)
+    bias'   = (bias - moving_mean) * scale + beta
+
+This removes every BN op from the inference graph (the reference leaves
+them in — tf.layers.batch_normalization at darknet.py:42-44 — and pays
+them per step). Use with modules constructed with ``fold_bn=True``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping
+
+import jax.numpy as jnp
+
+
+def fold_params(params: Mapping[str, Any], batch_stats: Mapping[str, Any],
+                epsilon: float = 1e-3) -> dict:
+    """Fold BN stats into conv weights across a whole variable tree.
+
+    Walks the params tree; any subtree holding both a ``conv`` and a ``bn``
+    child (the ConvBN layout, models.layers) is folded into a bare
+    ``conv``. Returns a params tree valid for the same module constructed
+    with ``fold_bn=True``.
+    """
+
+    def walk(p: Mapping[str, Any], bs: Mapping[str, Any]) -> dict:
+        out: dict = {}
+        for key, sub in p.items():
+            if not isinstance(sub, Mapping):
+                out[key] = sub
+                continue
+            if "conv" in sub and "bn" in sub:
+                conv = sub["conv"]
+                bn = sub["bn"]
+                stats = bs.get(key, {}).get("bn", {}) if bs else {}
+                mean = stats.get("mean", jnp.zeros_like(bn["bias"]))
+                var = stats.get("var", jnp.ones_like(bn["bias"]))
+                scale = bn["scale"] / jnp.sqrt(var + epsilon)
+                kernel = conv["kernel"] * scale  # HWIO: broadcasts over O
+                bias = (conv["bias"] - mean) * scale + bn["bias"]
+                out[key] = {"conv": {"kernel": kernel, "bias": bias}}
+            else:
+                out[key] = walk(sub, bs.get(key, {}) if bs else {})
+        return out
+
+    return walk(params, batch_stats or {})

@@ -1,0 +1,132 @@
+"""Optimizer + LR-schedule factories on optax.
+
+Capability of the slim flag surface (reference
+train_image_classifier.py:96-370 ``_configure_optimizer`` /
+``_configure_learning_rate``): the full optimizer family
+{adadelta, adagrad, adam, ftrl, momentum, sgd, rmsprop} plus schedules
+{fixed, exponential, polynomial} (cosine and warmup added), parameter EMA
+(--moving_average_decay), gradient clipping, weight decay, and
+scope-limited training (--trainable_scopes; also the capability behind
+imagenet_train_resnet.py:54-59 which trains only the logits scope).
+
+Hyperparameter defaults mirror the TF1 optimizers' defaults so training
+dynamics are comparable (e.g. Adam epsilon 1e-8).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import optax
+
+from tensorflow_yolo2_tpu.config import LRScheduleConfig, OptimizerConfig
+
+
+def make_schedule(cfg: LRScheduleConfig) -> optax.Schedule:
+    """LR schedule (reference train_image_classifier.py:270-336)."""
+    base: optax.Schedule
+    if cfg.kind == "fixed":
+        base = optax.constant_schedule(cfg.learning_rate)
+    elif cfg.kind == "exponential":
+        base = optax.exponential_decay(
+            cfg.learning_rate, cfg.decay_steps, cfg.decay_factor,
+            staircase=True)
+    elif cfg.kind == "polynomial":
+        base = optax.polynomial_schedule(
+            cfg.learning_rate, cfg.end_learning_rate, cfg.power,
+            cfg.decay_steps)
+    elif cfg.kind == "cosine":
+        base = optax.cosine_decay_schedule(cfg.learning_rate, cfg.decay_steps,
+                                           alpha=cfg.end_learning_rate /
+                                           max(cfg.learning_rate, 1e-12))
+    else:
+        raise ValueError(f"unknown schedule {cfg.kind!r}")
+    if cfg.warmup_steps > 0:
+        warmup = optax.linear_schedule(0.0, cfg.learning_rate,
+                                       cfg.warmup_steps)
+        return optax.join_schedules([warmup, base], [cfg.warmup_steps])
+    return base
+
+
+def _core(cfg: OptimizerConfig, lr: optax.Schedule) -> optax.GradientTransformation:
+    """The optimizer family switch (reference
+    train_image_classifier.py:225-269)."""
+    name = cfg.name.lower()
+    if name == "adadelta":
+        return optax.adadelta(lr, rho=cfg.adadelta_rho, eps=cfg.epsilon)
+    if name == "adagrad":
+        return optax.adagrad(lr)
+    if name == "adam":
+        return optax.adam(lr, b1=cfg.adam_beta1, b2=cfg.adam_beta2,
+                          eps=cfg.epsilon)
+    if name == "adamw":
+        return optax.adamw(lr, b1=cfg.adam_beta1, b2=cfg.adam_beta2,
+                           eps=cfg.epsilon, weight_decay=cfg.weight_decay)
+    if name == "ftrl":
+        # optax has no ftrl; adagrad with L1/L2 via additive decay is the
+        # closest composable equivalent of TF1 FtrlOptimizer.
+        parts = [optax.adagrad(
+            lr, initial_accumulator_value=cfg.ftrl_initial_accumulator_value)]
+        if cfg.ftrl_l2:
+            parts.insert(0, optax.add_decayed_weights(cfg.ftrl_l2))
+        return optax.chain(*parts)
+    if name == "momentum":
+        return optax.sgd(lr, momentum=cfg.momentum)
+    if name == "sgd":
+        return optax.sgd(lr)
+    if name == "rmsprop":
+        return optax.rmsprop(lr, decay=cfg.rmsprop_decay,
+                             momentum=cfg.momentum, eps=cfg.epsilon)
+    if name == "lamb":
+        return optax.lamb(lr, weight_decay=cfg.weight_decay)
+    raise ValueError(f"Optimizer [{cfg.name}] was not recognized")
+
+
+def trainable_mask(params: Any, scopes: tuple[str, ...]) -> Any:
+    """Boolean pytree: True where the param path starts with a scope prefix.
+
+    Path elements are joined with '/' (e.g. 'backbone/conv1/conv/kernel'),
+    matching the spirit of slim scope names
+    (train_image_classifier.py:375-391).
+    """
+    if not scopes:
+        return jax.tree_util.tree_map(lambda _: True, params)
+
+    def check(path, _):
+        name = "/".join(str(getattr(k, "key", k)) for k in path)
+        return any(name.startswith(s) for s in scopes)
+
+    return jax.tree_util.tree_map_with_path(check, params)
+
+
+def make_optimizer(cfg: OptimizerConfig,
+                   params: Any | None = None) -> optax.GradientTransformation:
+    """Build the full optax chain: clip → weight decay → optimizer →
+    (optional) scope mask. EMA of params is handled by the Trainer (it is
+    state alongside, not a transform of, the updates)."""
+    lr = make_schedule(cfg.schedule)
+    parts: list[optax.GradientTransformation] = []
+    if cfg.grad_clip_norm:
+        parts.append(optax.clip_by_global_norm(cfg.grad_clip_norm))
+    if cfg.weight_decay and cfg.name.lower() not in ("adamw", "lamb"):
+        parts.append(optax.add_decayed_weights(cfg.weight_decay))
+    parts.append(_core(cfg, lr))
+    tx = optax.chain(*parts) if len(parts) > 1 else parts[0]
+    if cfg.trainable_scopes:
+        if params is None:
+            raise ValueError("trainable_scopes requires params for masking")
+        mask = trainable_mask(params, cfg.trainable_scopes)
+        tx = optax.masked(tx, mask)
+    return tx
+
+
+def make_ema(decay: float) -> Callable[[Any, Any], Any]:
+    """Parameter EMA update fn (slim --moving_average_decay,
+    train_image_classifier.py:517-521)."""
+
+    def update(ema_params: Any, params: Any) -> Any:
+        return jax.tree_util.tree_map(
+            lambda e, p: decay * e + (1.0 - decay) * p, ema_params, params)
+
+    return update

@@ -1,0 +1,107 @@
+"""Model shape/param tests (pattern of reference slim *_test.py: endpoint
+shapes + deterministic inputs, resnet_v1_test.py:30-91)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tensorflow_yolo2_tpu.models import (
+    Darknet19Backbone,
+    Darknet19Classifier,
+    Darknet19Detector,
+    get_network,
+    list_networks,
+)
+from tensorflow_yolo2_tpu.models.fold import fold_params
+
+
+def mesh_input(batch, size, channels=3):
+    """Deterministic mesh-grid input (reference resnet_v1_test.py:30-53)."""
+    x = np.linspace(-1, 1, batch * size * size * channels, dtype=np.float32)
+    return x.reshape(batch, size, size, channels)
+
+
+def test_backbone_output_shape():
+    model = Darknet19Backbone()
+    x = mesh_input(2, 64)
+    params = model.init(jax.random.PRNGKey(0), x, train=False)
+    y = model.apply(params, x, train=False)
+    assert y.shape == (2, 2, 2, 1024)
+
+
+def test_backbone_has_18_convs():
+    model = Darknet19Backbone()
+    params = model.init(jax.random.PRNGKey(0), mesh_input(1, 32), train=False)
+    convs = [k for k in params["params"] if k.startswith("conv")]
+    assert len(convs) == 18
+
+
+def test_classifier_logits_shape_224_and_448():
+    model = Darknet19Classifier(num_classes=1000)
+    for size, in_batch in ((224, 1), (448, 1)):
+        x = mesh_input(in_batch, size)
+        params = model.init(jax.random.PRNGKey(0), x, train=False)
+        y = model.apply(params, x, train=False)
+        assert y.shape == (in_batch, 1000)
+
+
+def test_detector_grid_shape():
+    model = Darknet19Detector(output_channels=30)
+    x = mesh_input(2, 224)
+    params = model.init(jax.random.PRNGKey(0), x, train=False)
+    y = model.apply(params, x, train=False)
+    assert y.shape == (2, 7, 7, 30)
+    # 448 input → S=14 grid, same params (fully convolutional)
+    y2 = model.apply(params, mesh_input(1, 448), train=False)
+    assert y2.shape == (1, 14, 14, 30)
+
+
+def test_batchnorm_stats_update_in_train_mode():
+    model = Darknet19Backbone()
+    x = np.random.RandomState(0).normal(
+        2.0, 1.0, (4, 32, 32, 3)).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    y, mutated = model.apply(variables, x, train=True,
+                             mutable=["batch_stats"])
+    old = variables["batch_stats"]["conv1"]["bn"]["mean"]
+    new = mutated["batch_stats"]["conv1"]["bn"]["mean"]
+    assert not np.allclose(old, new)
+    assert np.isfinite(np.asarray(y)).all()
+
+
+def test_bn_fold_matches_unfolded_inference():
+    model = Darknet19Detector(output_channels=30)
+    x = mesh_input(1, 64)
+    variables = model.init(jax.random.PRNGKey(1), x, train=False)
+    # run a train step so moving stats are non-trivial
+    _, mutated = model.apply(variables, x, train=True,
+                             mutable=["batch_stats"])
+    variables = {"params": variables["params"],
+                 "batch_stats": mutated["batch_stats"]}
+    want = model.apply(variables, x, train=False)
+
+    folded = fold_params(variables["params"], variables["batch_stats"])
+    folded_model = Darknet19Detector(output_channels=30, fold_bn=True)
+    got = folded_model.apply({"params": folded}, x, train=False)
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-4)
+
+
+def test_registry_builds_known_networks():
+    names = list_networks()
+    assert "darknet19" in names
+    assert "darknet19_detection" in names
+    net = get_network("darknet19", num_classes=5)
+    assert net.num_classes == 5
+    with pytest.raises(ValueError):
+        get_network("nope_net")
+
+
+def test_detector_output_is_float32_under_bf16_compute():
+    model = Darknet19Detector(output_channels=30, dtype=jnp.bfloat16)
+    x = mesh_input(1, 32)
+    params = model.init(jax.random.PRNGKey(0), x, train=False)
+    y = model.apply(params, x, train=False)
+    assert y.dtype == jnp.float32
+    leaves = jax.tree_util.tree_leaves(params["params"])
+    assert all(l.dtype == jnp.float32 for l in leaves)
