@@ -1,0 +1,171 @@
+"""Benchmark: Darknet19-448 detection throughput (images/sec/chip).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The pipeline benchmarked is the full serving path of
+entries/pascal_detect_darknet (the reference's pascal_detect_darknet.py):
+Darknet19 backbone + YOLO head at 448² + grid decode, bf16 compute,
+BatchNorm folded into the convs, batched, jitted once.
+
+vs_baseline compares against the TF1-era reference path. The reference
+publishes no numbers (BASELINE.md), so the baseline is a *measured*
+equivalent: the same 22-conv TF graph (conv+bias → batch-norm → leaky, at
+448², NHWC fp32) executed by TensorFlow on this host's CPU — the
+reference's own runtime on the hardware available to it here. Measured
+once and cached in BASELINE_MEASURED.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      "BASELINE_MEASURED.json")
+_IMAGE = 448
+_BATCH = int(os.environ.get("BENCH_BATCH", "32"))
+_STEPS = int(os.environ.get("BENCH_STEPS", "20"))
+
+
+def measure_tpu() -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from tensorflow_yolo2_tpu.config import YoloConfig
+    from tensorflow_yolo2_tpu.models.darknet import Darknet19Detector
+    from tensorflow_yolo2_tpu.models.fold import fold_params
+    from tensorflow_yolo2_tpu.ops.boxes import decode_grid
+
+    yolo = YoloConfig(S=_IMAGE // 32)
+    model = Darknet19Detector(output_channels=yolo.cell_channels,
+                              dtype=jnp.bfloat16)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 3)), train=False)
+    folded = fold_params(variables["params"], variables["batch_stats"])
+    fmodel = Darknet19Detector(output_channels=yolo.cell_channels,
+                               fold_bn=True, dtype=jnp.bfloat16)
+
+    @jax.jit
+    def forward(params, images):
+        grid = fmodel.apply({"params": params}, images, train=False)
+        return jax.vmap(lambda g: decode_grid(g, yolo, 0.5))(grid)
+
+    images = jnp.asarray(np.random.RandomState(0).uniform(
+        -1, 1, (_BATCH, _IMAGE, _IMAGE, 3)), jnp.float32)
+    images = jax.device_put(images)
+
+    def run(batch):
+        # Force real completion with a host fetch of the (tiny) scores
+        # tensor — under the axon tunnel block_until_ready alone can
+        # return before the computation has actually executed.
+        out = forward(folded, batch)
+        return np.asarray(out.scores)
+
+    run(images)  # compile + warm
+    run(images)
+
+    # Steady-state throughput: dispatch the whole chain (device executes
+    # serially), fetch once at the end so the tunnel round-trip amortizes
+    # across steps — the serving pipeline overlaps fetches the same way.
+    t0 = time.perf_counter()
+    outs = [forward(folded, images) for _ in range(_STEPS)]
+    np.asarray(outs[-1].scores)
+    dt = (time.perf_counter() - t0) / _STEPS
+    del outs
+    ips = _BATCH / dt
+
+    # p50 single-image latency (host-fetch round trip included)
+    one = images[:1]
+    run(one)
+    lats = []
+    for _ in range(30):
+        t0 = time.perf_counter()
+        run(one)
+        lats.append(time.perf_counter() - t0)
+    p50_ms = float(np.percentile(lats, 50) * 1000)
+    return {"images_per_sec": ips, "p50_ms": p50_ms,
+            "batch": _BATCH, "backend": jax.default_backend()}
+
+
+def measure_tf_cpu_baseline() -> float:
+    """Equivalent TF graph of the reference detection net, on host CPU."""
+    import tensorflow as tf
+
+    tf.config.set_visible_devices([], "GPU")
+    schedule = [(3, 32), "M", (3, 64), "M", (3, 128), (1, 64), (3, 128),
+                "M", (3, 256), (1, 128), (3, 256), "M", (3, 512), (1, 256),
+                (3, 512), (1, 256), (3, 512), "M", (3, 1024), (1, 512),
+                (3, 1024), (1, 512), (3, 1024),
+                (3, 1024), (3, 1024), (3, 1024), (1, 30)]
+
+    batch = 4  # small batch; per-image rate is what matters
+
+    @tf.function
+    def net(x):
+        rng = np.random.RandomState(0)
+        for item in schedule:
+            if item == "M":
+                x = tf.nn.max_pool2d(x, 2, 2, "SAME")
+                continue
+            k, f = item
+            w = tf.constant(rng.normal(0, 0.05,
+                                       (k, k, x.shape[-1], f)), tf.float32)
+            b = tf.constant(np.full(f, 0.1, np.float32))
+            x = tf.nn.conv2d(x, w, 1, "SAME") + b
+            mean, var = tf.nn.moments(x, [0, 1, 2])
+            x = tf.nn.batch_normalization(
+                x, tf.stop_gradient(mean), tf.stop_gradient(var),
+                None, None, 1e-3)
+            x = tf.maximum(0.1 * x, x)
+        return x
+
+    x = tf.constant(np.random.RandomState(0).uniform(
+        -1, 1, (batch, _IMAGE, _IMAGE, 3)), tf.float32)
+    net(x)  # trace + warm
+    t0 = time.perf_counter()
+    steps = 3
+    for _ in range(steps):
+        y = net(x)
+    _ = y.numpy()
+    dt = (time.perf_counter() - t0) / steps
+    return batch / dt
+
+
+def get_baseline() -> float:
+    if os.path.exists(_CACHE):
+        with open(_CACHE) as f:
+            return json.load(f)["tf_cpu_images_per_sec"]
+    ips = measure_tf_cpu_baseline()
+    with open(_CACHE, "w") as f:
+        json.dump({"tf_cpu_images_per_sec": ips,
+                   "note": "reference-equivalent TF graph, darknet19-448 "
+                           "detection fwd, host CPU fp32"}, f, indent=1)
+    return ips
+
+
+def main() -> int:
+    result = measure_tpu()
+    try:
+        baseline = get_baseline()
+    except Exception as e:  # TF unavailable → report absolute only
+        print(f"baseline measurement failed: {e}", file=sys.stderr)
+        baseline = None
+    vs = (result["images_per_sec"] / baseline) if baseline else None
+    print(json.dumps({
+        "metric": "darknet19-448 detection throughput",
+        "value": round(result["images_per_sec"], 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(vs, 2) if vs else None,
+        "p50_single_image_ms": round(result["p50_ms"], 3),
+        "batch": result["batch"],
+        "backend": result["backend"],
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -33,8 +33,10 @@ class PrefetchLoader:
     """Concurrent batch producer over a ``get()``-style imdb.
 
     Semantics match the reference machinery: steady-state full pipelining,
-    batches delivered in production order, epoch handling inside the imdb.
-    ``num_workers=1`` preserves exact sequential batch order.
+    epoch handling inside the imdb, no batch dropped or duplicated.
+    With several workers, delivery order may interleave (a worker can be
+    descheduled between producing and enqueuing); ``num_workers=1``
+    preserves exact sequential batch order.
     """
 
     def __init__(self, get_batch: Callable[[], Any], num_workers: int = 4,

@@ -1,0 +1,126 @@
+"""Shared wiring for the CLI entries: the generic train loop
+(imdb → prefetch → jitted step → metrics → periodic checkpoints) and the
+resume/warm-start bootstrap, factored out of what every reference entry
+script re-implements inline (e.g. pascal_train_darknet.py:57-114)."""
+
+from __future__ import annotations
+
+import argparse
+from typing import Any, Callable, Optional
+
+import jax
+import numpy as np
+
+from tensorflow_yolo2_tpu.config import Paths
+from tensorflow_yolo2_tpu.data.prefetch import PrefetchLoader, device_prefetch
+from tensorflow_yolo2_tpu.train.checkpoint import (
+    CheckpointManager,
+    merge_pytrees,
+    warm_start_params,
+)
+from tensorflow_yolo2_tpu.train.metrics import MetricsWriter
+from tensorflow_yolo2_tpu.train.trainer import Trainer, TrainState
+from tensorflow_yolo2_tpu.utils.timer import Timer
+
+
+def base_parser(description: str) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=description)
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--iters", type=int, default=None,
+                   help="additional training iterations")
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--learning-rate", type=float, default=None)
+    p.add_argument("--save-every", type=int, default=None)
+    p.add_argument("--log-every", type=int, default=10)
+    p.add_argument("--eval-every", type=int, default=25)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--compute-dtype", default="bfloat16",
+                   choices=["bfloat16", "float32"])
+    p.add_argument("--num-workers", type=int, default=4,
+                   help="host prefetch workers")
+    p.add_argument("--data-path", default=None)
+    p.add_argument("--tf-checkpoint", default=None,
+                   help="TF1 checkpoint to import weights from")
+    p.add_argument("--profile-dir", default=None,
+                   help="capture a jax.profiler trace into this dir")
+    return p
+
+
+def bootstrap_state(trainer: Trainer, mgr: CheckpointManager,
+                    rng: jax.Array, sample_images: np.ndarray,
+                    warm_start_dir: Optional[str] = None,
+                    warm_start_exclude: tuple[str, ...] = (),
+                    params_override: Any = None,
+                    batch_stats_override: Any = None) -> tuple[TrainState, int]:
+    """Resume-or-initialize (the decision tree of net_utils.py:64-219):
+
+    1. newest checkpoint under this run's dir → exact resume;
+    2. otherwise warm-start params from ``warm_start_dir`` (another run's
+       snapshot) minus excluded scopes;
+    3. otherwise fresh init (or explicit overrides, e.g. TF import).
+    """
+    state = trainer.create_state(rng, sample_images,
+                                 params_override=params_override,
+                                 batch_stats_override=batch_stats_override)
+    last = mgr.latest_step()
+    if last is not None:
+        state, step = mgr.restore(state)
+        print(f"Restored snapshot at {mgr.interval} {step} from {mgr.dir}")
+        return trainer.shard_state(state), step
+    if warm_start_dir:
+        params, n = warm_start_params(state.params, warm_start_dir,
+                                      warm_start_exclude)
+        print(f"Warm-started {n} tensors from {warm_start_dir}")
+        state = trainer.shard_state(state.replace(params=params))
+    return state, 0
+
+
+def run_train_loop(trainer: Trainer, state: TrainState,
+                   get_batch: Callable[[], tuple],
+                   mgr: CheckpointManager, writer: MetricsWriter,
+                   start_iter: int, num_iters: int,
+                   log_every: int = 10, save_every: int = 1000,
+                   num_workers: int = 4,
+                   eval_fn: Optional[Callable[[TrainState, int], None]] = None,
+                   eval_every: int = 0,
+                   trace_dir: Optional[str] = None) -> TrainState:
+    """The hot loop: prefetched host batches → double-buffered device_put →
+    donated jitted step. Metrics are fetched with a 1-step lag so logging
+    never forces an early device sync."""
+    timer = Timer()
+    pending: list[tuple[int, Any]] = []
+
+    def flush(upto: int) -> None:
+        while pending and (len(pending) > upto):
+            it, metrics = pending.pop(0)
+            vals = {k: float(np.asarray(v)) for k, v in metrics.items()}
+            writer.scalars(it, vals)
+            if it % log_every == 0:
+                msg = ", ".join(f"{k}: {v:.4f}" for k, v in vals.items())
+                print(f"iter {it}: {msg}, "
+                      f"avg step {timer.average_time * 1000:.1f} ms")
+
+    from tensorflow_yolo2_tpu.utils.profiling import maybe_trace
+
+    with PrefetchLoader(get_batch, num_workers=num_workers) as loader, \
+            maybe_trace(trace_dir):
+        stream = device_prefetch(iter(loader), size=2,
+                                 sharding=trainer.batch_sharding)
+        for i in range(start_iter + 1, start_iter + num_iters + 1):
+            images, labels = next(stream)
+            timer.tic()
+            state, metrics = trainer.train_step(state, images, labels)
+            timer.toc()
+            pending.append((i, metrics))
+            flush(1)
+            if eval_fn is not None and eval_every and i % eval_every == 0:
+                eval_fn(state, i)
+            if save_every and i % save_every == 0:
+                mgr.save(i, jax.device_get(state))
+                print(f"Saved snapshot at iter {i}")
+        flush(0)
+    return state
+
+
+def paths_from_args(args: argparse.Namespace) -> Paths:
+    return Paths()

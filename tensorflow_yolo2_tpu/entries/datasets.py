@@ -1,0 +1,72 @@
+"""Dataset factory — name → imdb registry.
+
+Capability of reference src/slim_dir/datasets/dataset_factory.py:30-61
+(``get_dataset``): trainers select datasets by name. Datasets here are
+host-side loaders with the uniform imdb interface; ``synthetic`` provides
+an in-memory fixture (this environment mounts no real data) so every
+entry can run end-to-end.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+
+
+class SyntheticClassification:
+    """In-memory random classification imdb (smoke/e2e fixture)."""
+
+    def __init__(self, split: str = "train", batch_size: int = 32,
+                 num_class: int = 10, image_size: int = 64, seed: int = 0,
+                 size: int = 256, **_: Any):
+        self.name = f"synthetic_{num_class}"
+        self.batch_size = batch_size
+        self.image_size = image_size
+        self.num_class = num_class
+        self.classes = tuple(f"class_{i}" for i in range(num_class))
+        rng = np.random.RandomState(seed + (0 if split == "train" else 1))
+        self._images = rng.uniform(-1, 1, (size, image_size, image_size, 3)
+                                   ).astype(np.float32)
+        self._labels = rng.randint(0, num_class, size).astype(np.int32)
+        self.cursor = 0
+        self.epoch = 1
+
+    @property
+    def total_batch(self) -> int:
+        return max(1, len(self._labels) // self.batch_size)
+
+    def get(self):
+        idx = np.arange(self.cursor, self.cursor + self.batch_size) % len(
+            self._labels)
+        self.cursor += self.batch_size
+        if self.cursor >= len(self._labels):
+            self.cursor = 0
+            self.epoch += 1
+        return self._images[idx], self._labels[idx]
+
+
+def get_dataset(name: str, split: str = "train", **kwargs: Any):
+    """Build an imdb by name (reference dataset_factory.get_dataset)."""
+    name = name.lower()
+    if name == "flowers":
+        from tensorflow_yolo2_tpu.data.flowers import TFFlowers
+
+        kwargs.pop("seed", None)
+        return TFFlowers(batch_size=kwargs.get("batch_size", 16),
+                         data_path=kwargs.get("data_path"))
+    if name in ("imagenet", "ilsvrc", "ilsvrc_2017_cls"):
+        from tensorflow_yolo2_tpu.data.ilsvrc import IlsvrcCls
+
+        return IlsvrcCls(split, batch_size=kwargs.get("batch_size", 48),
+                         data_path=kwargs.get("data_path"),
+                         data_aug=split == "train")
+    if name in ("voc", "pascal", "voc_2007"):
+        from tensorflow_yolo2_tpu.data.voc import PascalVOC
+
+        return PascalVOC(split if split != "train" else "trainval",
+                         batch_size=kwargs.get("batch_size", 24),
+                         data_path=kwargs.get("data_path"))
+    if name == "synthetic":
+        return SyntheticClassification(split, **kwargs)
+    raise ValueError(f"Name of dataset unknown {name!r}")

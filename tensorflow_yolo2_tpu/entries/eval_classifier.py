@@ -1,0 +1,70 @@
+"""Unified classifier evaluation — streaming accuracy + recall@5.
+
+Capability of reference src/slim_dir/eval_image_classifier.py:150-187
+(slim streaming metrics over the eval split of any model × dataset).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tensorflow_yolo2_tpu.config import Paths
+from tensorflow_yolo2_tpu.entries import common
+from tensorflow_yolo2_tpu.entries.datasets import get_dataset
+from tensorflow_yolo2_tpu.models.registry import get_network
+from tensorflow_yolo2_tpu.parallel.mesh import make_mesh_for_batch
+from tensorflow_yolo2_tpu.train.checkpoint import CheckpointManager
+from tensorflow_yolo2_tpu.train.trainer import Trainer, softmax_task
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = common.base_parser(__doc__)
+    p.add_argument("--model-name", default="darknet19")
+    p.add_argument("--dataset-name", default="flowers")
+    p.add_argument("--dataset-split-name", default="validation")
+    p.add_argument("--max-batches", type=int, default=None)
+    args = p.parse_args(argv)
+
+    batch_size = args.batch_size or 64
+    dtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
+    imdb = get_dataset(args.dataset_name, args.dataset_split_name,
+                       batch_size=batch_size, data_path=args.data_path)
+    model = get_network(args.model_name, num_classes=imdb.num_class,
+                        dtype=dtype)
+    trainer = Trainer(model, softmax_task(),
+                      mesh=make_mesh_for_batch(batch_size))
+    mgr = CheckpointManager(args.model_name, imdb.name, paths=Paths())
+    get_batch = getattr(imdb, "get_val", imdb.get)
+    sample, _ = get_batch()
+    state, step = common.bootstrap_state(trainer, mgr,
+                                         jax.random.PRNGKey(0), sample[:1])
+
+    @jax.jit
+    def topk_correct(state_params, images, labels):
+        variables = {"params": state_params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        logits = model.apply(variables, images, train=False)
+        top1 = (jnp.argmax(logits, -1) == labels).sum()
+        k = min(5, logits.shape[-1])
+        topk = jax.lax.top_k(logits, k)[1]
+        top5 = (topk == labels[:, None]).any(-1).sum()
+        return top1, top5
+
+    n_batches = args.max_batches or imdb.total_batch
+    c1 = c5 = total = 0
+    for _ in range(n_batches):
+        images, labels = trainer.put_batch(*get_batch())
+        t1, t5 = topk_correct(state.params, images, labels)
+        c1 += int(t1)
+        c5 += int(t5)
+        total += batch_size
+    print(f"eval at step {step}: accuracy {c1 / total:.4f}, "
+          f"recall@5 {c5 / total:.4f} over {total} images")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,85 @@
+"""Adversarial-robustness training (NIPS-2017 adversarial defense).
+
+Capability of reference src/imagenet/imagenet_train_inception_resnet.py:
+per-iteration clean + FGSM adversarial steps on a contrast-channel
+classifier, with 4 metric streams (train/val × clean/adv, :200-234).
+TPU-native: the reference needs a second TF graph + session + cleverhans
+for the attack; here FGSM is ``grad`` w.r.t. the input fused into the
+same XLA program (train.adversarial), and the 15-channel contrast
+transform runs on-device (models.contrast).
+
+The backbone defaults to resnet_v1_50 (the inception_resnet_v2 family is
+tracked for a later round); any registered classifier works.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tensorflow_yolo2_tpu.config import LRScheduleConfig, OptimizerConfig, Paths
+from tensorflow_yolo2_tpu.data.ilsvrc import IlsvrcCls
+from tensorflow_yolo2_tpu.entries import common
+from tensorflow_yolo2_tpu.models.contrast import ContrastInputModel
+from tensorflow_yolo2_tpu.models.registry import get_network
+from tensorflow_yolo2_tpu.parallel.mesh import make_mesh_for_batch
+from tensorflow_yolo2_tpu.train.adversarial import adversarial_train_step_pair
+from tensorflow_yolo2_tpu.train.checkpoint import CheckpointManager
+from tensorflow_yolo2_tpu.train.metrics import MetricsWriter
+from tensorflow_yolo2_tpu.train.trainer import Trainer, softmax_task
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = common.base_parser(__doc__)
+    p.add_argument("--backbone", default="resnet_v1_50")
+    p.add_argument("--epsilon", type=float, default=8 / 255 * 2)
+    p.add_argument("--noise-aug", action="store_true",
+                   help="±ε sign-noise augmentation in the host loader")
+    args = p.parse_args(argv)
+
+    batch_size = args.batch_size or 18      # reference batch (:96)
+    iters = args.iters or 10_000
+    lr = args.learning_rate or 1e-3
+    dtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
+
+    imdb = IlsvrcCls("train", batch_size=batch_size, data_aug=True,
+                     random_noise=args.noise_aug, data_path=args.data_path)
+    backbone = get_network(args.backbone, num_classes=imdb.num_class,
+                           dtype=dtype, global_pool=True)
+    model = ContrastInputModel(backbone=backbone, dtype=dtype)
+    trainer = Trainer(
+        model, softmax_task(),
+        OptimizerConfig(name="momentum", momentum=0.9,
+                        schedule=LRScheduleConfig(learning_rate=lr)),
+        mesh=make_mesh_for_batch(batch_size))
+    paths = Paths()
+    name = f"{args.backbone}_adv"
+    mgr = CheckpointManager(name, imdb.name, save_by_epoch=False, paths=paths)
+    tb_train, _ = paths.tb_dirs(name, imdb.name, val=False)
+    writer = MetricsWriter(tb_train)
+
+    sample, _ = imdb.get()
+    state, start = common.bootstrap_state(
+        trainer, mgr, jax.random.PRNGKey(args.seed), sample[:1])
+
+    for i in range(start + 1, start + iters + 1):
+        images, labels = trainer.put_batch(*imdb.get())
+        state, clean_m, adv_m = adversarial_train_step_pair(
+            trainer, state, images, labels, epsilon=args.epsilon)
+        if i % args.log_every == 0:
+            vals = {f"clean/{k}": float(np.asarray(v))
+                    for k, v in clean_m.items()}
+            vals.update({f"adv/{k}": float(np.asarray(v))
+                         for k, v in adv_m.items()})
+            writer.scalars(i, vals)
+            print(f"iter {i}: " + ", ".join(
+                f"{k}: {v:.4f}" for k, v in vals.items()))
+        if args.save_every and i % args.save_every == 0:
+            mgr.save(i, jax.device_get(state))
+    writer.close()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,115 @@
+"""Single-image Darknet19 YOLO detection (driver config #1).
+
+Capability of reference src/pascal/pascal_detect_darknet.py: read an
+image (BGR, warp-resize, [-1, 1] — exactly pascal_voc.py:60-67), run the
+Darknet19 detection graph at inference, decode the S×S grid at threshold
+0.5 and draw boxes. TPU-native differences:
+
+- the whole forward + fused Pallas decode (+ optional NMS — the reference
+  has none, net_utils.py:398) runs as ONE jitted program on the chip;
+- BatchNorm is folded into the conv weights (models.fold) so inference
+  does 22 convs and nothing else;
+- weights come from an Orbax snapshot or an imported TF1 checkpoint
+  (``--tf-checkpoint``), falling back to the newest training snapshot
+  like the reference (:54-60).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tensorflow_yolo2_tpu.config import VOC_CLASSES, Paths, YoloConfig
+from tensorflow_yolo2_tpu.data.augment import image_read
+from tensorflow_yolo2_tpu.models.darknet import Darknet19Detector
+from tensorflow_yolo2_tpu.models.fold import fold_params
+from tensorflow_yolo2_tpu.ops.boxes import Detections
+from tensorflow_yolo2_tpu.ops.nms import nms_fixed
+from tensorflow_yolo2_tpu.ops.pallas_decode import decode_grid_pallas
+from tensorflow_yolo2_tpu.train.checkpoint import CheckpointManager
+from tensorflow_yolo2_tpu.utils.visualize import draw_detections
+
+
+def load_detector_params(yolo: YoloConfig, tf_checkpoint: str | None = None,
+                         paths: Paths | None = None,
+                         network_name: str = "darknet19",
+                         imdb_name: str = "voc_2007"):
+    """Resolve weights: explicit TF ckpt → weights/darknet19_pascal.ckpt →
+    newest Orbax snapshot (the reference's fallback order, :50-60)."""
+    paths = paths or Paths()
+    tf_path = tf_checkpoint or os.path.join(paths.weights,
+                                            "darknet19_pascal.ckpt")
+    if os.path.exists(tf_path + ".index") or os.path.exists(tf_path):
+        from tensorflow_yolo2_tpu.compat.tf_import import (
+            import_darknet19_checkpoint,
+        )
+        params, stats = import_darknet19_checkpoint(tf_path, detection=True)
+        print(f"Imported TF checkpoint {tf_path}")
+        return params, stats
+    mgr = CheckpointManager(network_name, imdb_name, save_by_epoch=False,
+                            paths=paths)
+    state = mgr.restore_raw()
+    print(f"Restored snapshot from {mgr.latest_path()}")
+    return state["params"], state.get("batch_stats", {})
+
+
+def make_detect_fn(yolo: YoloConfig, params, batch_stats,
+                   object_thresh: float = 0.5, use_nms: bool = False,
+                   nms_iou: float = 0.5, fold_bn: bool = True,
+                   dtype=jnp.bfloat16):
+    """Build the jitted image→detections function (batched)."""
+    if fold_bn and batch_stats:
+        variables = {"params": fold_params(params, batch_stats)}
+        model = Darknet19Detector(output_channels=yolo.cell_channels,
+                                  fold_bn=True, dtype=dtype)
+    else:
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        model = Darknet19Detector(output_channels=yolo.cell_channels,
+                                  dtype=dtype)
+
+    @jax.jit
+    def detect(images: jnp.ndarray) -> Detections:
+        grid = model.apply(variables, images, train=False)
+        dets = decode_grid_pallas(grid, yolo, object_thresh)
+        if use_nms:
+            dets = jax.vmap(
+                lambda d: nms_fixed(d, nms_iou, max_outputs=32))(dets)
+        return dets
+
+    return detect
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("image", nargs="?", default="tests/testImg2.jpg")
+    p.add_argument("--threshold", type=float, default=0.5)
+    p.add_argument("--nms", action="store_true",
+                   help="apply class-aware NMS (the reference has none)")
+    p.add_argument("--tf-checkpoint", default=None)
+    p.add_argument("--out", default=None)
+    p.add_argument("--no-fold-bn", action="store_true")
+    args = p.parse_args(argv)
+
+    yolo = YoloConfig()
+    params, stats = load_detector_params(yolo, args.tf_checkpoint)
+    detect = make_detect_fn(yolo, params, stats, args.threshold,
+                            use_nms=args.nms, fold_bn=not args.no_fold_bn)
+
+    image = image_read(args.image, yolo.image_size)  # BGR, [-1, 1]
+    dets = detect(image[None])
+    out = draw_detections(args.image, np.asarray(dets.boxes[0]),
+                          np.asarray(dets.scores[0]),
+                          np.asarray(dets.classes[0]), VOC_CLASSES,
+                          out_path=args.out)
+    print(f"Wrote {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

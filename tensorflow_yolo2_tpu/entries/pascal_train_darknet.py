@@ -1,0 +1,86 @@
+"""Darknet19 YOLO detection training on Pascal VOC2007 (driver config #3).
+
+Capability of reference src/pascal/pascal_train_darknet.py: Darknet19
+core + detection head + YOLO grid loss, Adam (TF default 1e-3), batch 24,
+80k added iterations, snapshot every 40k, resume-or-warm-start from the
+ImageNet classifier run (net_utils.py:64-110). TPU-native: one jitted
+step (fwd+bwd+update fused by XLA), data sharded over the mesh, host
+prefetch, per-term loss metrics.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from tensorflow_yolo2_tpu.config import (
+    LRScheduleConfig,
+    OptimizerConfig,
+    Paths,
+    YoloConfig,
+)
+from tensorflow_yolo2_tpu.data.voc import PascalVOC
+from tensorflow_yolo2_tpu.entries import common
+from tensorflow_yolo2_tpu.models.darknet import Darknet19Detector
+from tensorflow_yolo2_tpu.parallel.mesh import make_mesh_for_batch
+from tensorflow_yolo2_tpu.train.checkpoint import CheckpointManager
+from tensorflow_yolo2_tpu.train.metrics import MetricsWriter
+from tensorflow_yolo2_tpu.train.trainer import Trainer, yolo_task
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = common.base_parser(__doc__)
+    p.add_argument("--image-set", default="trainval")
+    p.add_argument("--flipped", action="store_true")
+    args = p.parse_args(argv)
+
+    batch_size = args.batch_size or 24      # reference :30
+    iters = args.iters or 80_000            # reference :96
+    lr = args.learning_rate or 1e-3         # TF AdamOptimizer default (:51)
+    save_every = args.save_every or 40_000  # reference :111
+    dtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
+
+    yolo = YoloConfig()
+    imdb = PascalVOC(args.image_set, batch_size=batch_size, yolo=yolo,
+                     flipped=args.flipped, data_path=args.data_path)
+    paths = Paths()
+    model = Darknet19Detector(output_channels=yolo.cell_channels, dtype=dtype)
+    trainer = Trainer(
+        model, yolo_task(yolo),
+        OptimizerConfig(name="adam",
+                        schedule=LRScheduleConfig(learning_rate=lr)),
+        mesh=make_mesh_for_batch(batch_size))
+    mgr = CheckpointManager("darknet19", imdb.name, save_by_epoch=False,
+                            paths=paths)
+    writer = MetricsWriter(paths.tb_dirs("darknet19", imdb.name, val=False)[0])
+
+    # warm-start from the newest ImageNet classifier snapshot if present
+    # (the reference's variable-intersection path, net_utils.py:81-101)
+    imagenet_mgr = CheckpointManager("darknet19", "ilsvrc_2017_cls",
+                                     save_by_epoch=True, paths=paths)
+    warm = imagenet_mgr.latest_path()
+
+    params_override = batch_stats_override = None
+    if args.tf_checkpoint:
+        from tensorflow_yolo2_tpu.compat.tf_import import (
+            import_darknet19_checkpoint,
+        )
+        params_override, batch_stats_override = import_darknet19_checkpoint(
+            args.tf_checkpoint, detection=True)
+
+    sample, _ = imdb.get()
+    state, start = common.bootstrap_state(
+        trainer, mgr, jax.random.PRNGKey(args.seed), sample[:1],
+        warm_start_dir=warm, params_override=params_override,
+        batch_stats_override=batch_stats_override)
+
+    state = common.run_train_loop(
+        trainer, state, imdb.get, mgr, writer,
+        start_iter=start, num_iters=iters, log_every=args.log_every,
+        save_every=save_every, num_workers=args.num_workers)
+    writer.close()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

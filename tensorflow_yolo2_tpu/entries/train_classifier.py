@@ -1,0 +1,127 @@
+"""Unified flag-driven classifier trainer — the slim tier.
+
+Capability of reference src/slim_dir/train_image_classifier.py (the ~35
+tf.app.flags surface, :57-370): any registered model × any dataset ×
+{adadelta,adagrad,adam,ftrl,momentum,sgd,rmsprop} × LR schedule
+{fixed,exponential,polynomial(,cosine)} × EMA × fine-tune scopes ×
+warm-start-with-excluded-scopes, over a data(+model)-parallel mesh. The
+reference's DeploymentConfig / clones / PS plumbing (:400-544) is the
+mesh + GSPMD step (SURVEY §2.3); its input pipeline (parallel readers +
+batch threads + prefetch queue, :437-458) is the PrefetchLoader + device
+double buffer.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from tensorflow_yolo2_tpu.config import (
+    LRScheduleConfig,
+    OptimizerConfig,
+    Paths,
+)
+from tensorflow_yolo2_tpu.entries import common
+from tensorflow_yolo2_tpu.entries.datasets import get_dataset
+from tensorflow_yolo2_tpu.models.registry import get_network
+from tensorflow_yolo2_tpu.parallel.mesh import (
+    MeshConfig,
+    make_mesh,
+    make_mesh_for_batch,
+)
+from tensorflow_yolo2_tpu.train.checkpoint import CheckpointManager
+from tensorflow_yolo2_tpu.train.metrics import MetricsWriter
+from tensorflow_yolo2_tpu.train.trainer import Trainer, softmax_task
+
+
+def add_slim_flags(p) -> None:
+    p.add_argument("--model-name", default="darknet19")
+    p.add_argument("--dataset-name", default="flowers")
+    p.add_argument("--dataset-split-name", default="train")
+    p.add_argument("--optimizer", default="rmsprop",
+                   choices=["adadelta", "adagrad", "adam", "adamw", "ftrl",
+                            "momentum", "sgd", "rmsprop", "lamb"])
+    p.add_argument("--learning-rate-decay-type", default="exponential",
+                   choices=["fixed", "exponential", "polynomial", "cosine"])
+    p.add_argument("--learning-rate-decay-factor", type=float, default=0.94)
+    p.add_argument("--decay-steps", type=int, default=10_000)
+    p.add_argument("--end-learning-rate", type=float, default=1e-4)
+    p.add_argument("--momentum", type=float, default=0.9)
+    p.add_argument("--rmsprop-decay", type=float, default=0.9)
+    p.add_argument("--opt-epsilon", type=float, default=1e-8)
+    p.add_argument("--weight-decay", type=float, default=4e-5)
+    p.add_argument("--moving-average-decay", type=float, default=None)
+    p.add_argument("--trainable-scopes", default=None,
+                   help="comma-separated scope prefixes to train")
+    p.add_argument("--checkpoint-path", default=None,
+                   help="warm-start snapshot dir")
+    p.add_argument("--checkpoint-exclude-scopes", default=None)
+    p.add_argument("--clip-gradient-norm", type=float, default=None)
+    p.add_argument("--num-clones", type=int, default=None,
+                   help="data-parallel width (defaults to all devices)")
+    p.add_argument("--model-parallel", type=int, default=1)
+    p.add_argument("--warmup-steps", type=int, default=0)
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = common.base_parser(__doc__)
+    add_slim_flags(p)
+    args = p.parse_args(argv)
+
+    batch_size = args.batch_size or 32
+    iters = args.iters or 1000
+    lr = args.learning_rate or 0.01
+    dtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
+
+    imdb = get_dataset(args.dataset_name, args.dataset_split_name,
+                       batch_size=batch_size, data_path=args.data_path,
+                       seed=args.seed)
+    model = get_network(args.model_name, num_classes=imdb.num_class,
+                        dtype=dtype)
+
+    opt_cfg = OptimizerConfig(
+        name=args.optimizer, momentum=args.momentum,
+        epsilon=args.opt_epsilon, rmsprop_decay=args.rmsprop_decay,
+        weight_decay=args.weight_decay,
+        grad_clip_norm=args.clip_gradient_norm,
+        moving_average_decay=args.moving_average_decay,
+        trainable_scopes=tuple(
+            s.strip() for s in args.trainable_scopes.split(","))
+        if args.trainable_scopes else (),
+        schedule=LRScheduleConfig(
+            kind=args.learning_rate_decay_type, learning_rate=lr,
+            decay_factor=args.learning_rate_decay_factor,
+            decay_steps=args.decay_steps,
+            end_learning_rate=args.end_learning_rate,
+            warmup_steps=args.warmup_steps))
+
+    if args.num_clones is not None:
+        mesh = make_mesh(MeshConfig(data=args.num_clones,
+                                    model=args.model_parallel))
+    else:
+        mesh = make_mesh_for_batch(batch_size, model=args.model_parallel)
+    trainer = Trainer(model, softmax_task(), opt_cfg, mesh=mesh)
+    paths = Paths()
+    mgr = CheckpointManager(args.model_name, imdb.name, paths=paths)
+    writer = MetricsWriter(
+        paths.tb_dirs(args.model_name, imdb.name, val=False)[0])
+
+    sample, _ = imdb.get()
+    exclude = (tuple(s.strip()
+                     for s in args.checkpoint_exclude_scopes.split(","))
+               if args.checkpoint_exclude_scopes else ())
+    state, start = common.bootstrap_state(
+        trainer, mgr, jax.random.PRNGKey(args.seed), sample[:1],
+        warm_start_dir=args.checkpoint_path, warm_start_exclude=exclude)
+
+    state = common.run_train_loop(
+        trainer, state, imdb.get, mgr, writer, start_iter=start,
+        num_iters=iters, log_every=args.log_every,
+        save_every=args.save_every or max(iters // 4, 1),
+        num_workers=args.num_workers)
+    writer.close()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,412 @@
+"""Inception model family in Flax.
+
+Capability of the reference's vendored slim inception nets
+(src/slim_dir/nets/inception_v1.py … inception_v4.py,
+inception_resnet_v2.py; also the modified copy at
+src/yolo2_nets/inception_resnet_v2.py used by the adversarial
+experiment — its 15-channel input transform is provided generically by
+models.contrast.ContrastInputModel):
+
+- :class:`InceptionV1` — GoogLeNet with BN (9 mixed blocks);
+- :class:`InceptionV3` — 35/17/8-grid towers with factorized 7×1/1×7;
+- :class:`InceptionV4` — Inception-A/B/C towers + reduction blocks;
+- :class:`InceptionResnetV2` — residual block35/17/8 towers with the
+  canonical residual scales (0.17/0.10/0.20).
+
+v2 shares v1's builder with v3-style factorization kept out for brevity;
+all blocks are conv(+BN+ReLU) compositions that XLA fuses per branch and
+runs on the MXU in the configured dtype.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+class ConvBNReLU(nn.Module):
+    """slim conv2d with batch_norm normalizer (inception arg_scope:
+    BN momentum 0.9997, eps 0.001, no conv bias)."""
+
+    features: int
+    kernel: tuple[int, int] = (3, 3)
+    strides: int = 1
+    padding: str = "SAME"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        x = nn.Conv(self.features, self.kernel,
+                    strides=(self.strides, self.strides),
+                    padding=self.padding, use_bias=False, dtype=self.dtype,
+                    name="conv")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9997,
+                         epsilon=1e-3, dtype=self.dtype, name="bn")(x)
+        return nn.relu(x)
+
+
+def _concat(branches: Sequence[jnp.ndarray]) -> jnp.ndarray:
+    return jnp.concatenate(branches, axis=-1)
+
+
+class _MixedV1(nn.Module):
+    """GoogLeNet inception block (1×1 | 1×1→3×3 | 1×1→3×3 | pool→1×1)."""
+
+    b0: int
+    b1: tuple[int, int]
+    b2: tuple[int, int]
+    b3: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        c = lambda f, k, n: ConvBNReLU(f, (k, k), dtype=self.dtype, name=n)
+        br0 = c(self.b0, 1, "b0")(x, train)
+        br1 = c(self.b1[1], 3, "b1b")(c(self.b1[0], 1, "b1a")(x, train), train)
+        br2 = c(self.b2[1], 3, "b2b")(c(self.b2[0], 1, "b2a")(x, train), train)
+        br3 = c(self.b3, 1, "b3")(
+            nn.max_pool(x, (3, 3), (1, 1), "SAME"), train)
+        return _concat([br0, br1, br2, br3])
+
+
+class InceptionV1(nn.Module):
+    """GoogLeNet (slim inception_v1.py structure)."""
+
+    num_classes: int = 1000
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        c = lambda f, k, s, n: ConvBNReLU(f, (k, k), s, dtype=self.dtype,
+                                          name=n)
+        x = c(64, 7, 2, "conv1")(x, train)
+        x = nn.max_pool(x, (3, 3), (2, 2), "SAME")
+        x = c(64, 1, 1, "conv2")(x, train)
+        x = c(192, 3, 1, "conv3")(x, train)
+        x = nn.max_pool(x, (3, 3), (2, 2), "SAME")
+        specs = [
+            ("3a", 64, (96, 128), (16, 32), 32),
+            ("3b", 128, (128, 192), (32, 96), 64), ("pool", 0, 0, 0, 0),
+            ("4a", 192, (96, 208), (16, 48), 64),
+            ("4b", 160, (112, 224), (24, 64), 64),
+            ("4c", 128, (128, 256), (24, 64), 64),
+            ("4d", 112, (144, 288), (32, 64), 64),
+            ("4e", 256, (160, 320), (32, 128), 128), ("pool", 0, 0, 0, 0),
+            ("5a", 256, (160, 320), (32, 128), 128),
+            ("5b", 384, (192, 384), (48, 128), 128),
+        ]
+        for name, b0, b1, b2, b3 in specs:
+            if name == "pool":
+                x = nn.max_pool(x, (3, 3), (2, 2), "SAME")
+            else:
+                x = _MixedV1(b0, b1, b2, b3, dtype=self.dtype,
+                             name=f"mixed_{name}")(x, train)
+        x = jnp.mean(x, axis=(1, 2))
+        x = nn.Dropout(0.2, deterministic=not train)(x)
+        return nn.Dense(self.num_classes, dtype=self.dtype,
+                        name="logits")(x).astype(jnp.float32)
+
+
+# InceptionV2 in slim is V1's topology with factorized stems/depthwise
+# options; for the zoo we expose it as the V1 builder at its default size.
+InceptionV2 = InceptionV1
+
+
+class _MixedV3A(nn.Module):  # 35×35 tower
+    pool_features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        C = lambda f, kh, kw, n: ConvBNReLU(f, (kh, kw), dtype=self.dtype,
+                                            name=n)
+        br0 = C(64, 1, 1, "b0")(x, train)
+        br1 = C(64, 5, 5, "b1b")(C(48, 1, 1, "b1a")(x, train), train)
+        br2 = C(96, 3, 3, "b2c")(
+            C(96, 3, 3, "b2b")(C(64, 1, 1, "b2a")(x, train), train), train)
+        br3 = C(self.pool_features, 1, 1, "b3")(
+            nn.avg_pool(x, (3, 3), (1, 1), "SAME"), train)
+        return _concat([br0, br1, br2, br3])
+
+
+class _MixedV3B(nn.Module):  # 17×17 tower with 1×7/7×1 factorization
+    c7: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        C = lambda f, kh, kw, n: ConvBNReLU(f, (kh, kw), dtype=self.dtype,
+                                            name=n)
+        c7 = self.c7
+        br0 = C(192, 1, 1, "b0")(x, train)
+        t = C(c7, 1, 1, "b1a")(x, train)
+        t = C(c7, 1, 7, "b1b")(t, train)
+        br1 = C(192, 7, 1, "b1c")(t, train)
+        t = C(c7, 1, 1, "b2a")(x, train)
+        t = C(c7, 7, 1, "b2b")(t, train)
+        t = C(c7, 1, 7, "b2c")(t, train)
+        t = C(c7, 7, 1, "b2d")(t, train)
+        br2 = C(192, 1, 7, "b2e")(t, train)
+        br3 = C(192, 1, 1, "b3")(
+            nn.avg_pool(x, (3, 3), (1, 1), "SAME"), train)
+        return _concat([br0, br1, br2, br3])
+
+
+class _MixedV3C(nn.Module):  # 8×8 tower
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        C = lambda f, kh, kw, n: ConvBNReLU(f, (kh, kw), dtype=self.dtype,
+                                            name=n)
+        br0 = C(320, 1, 1, "b0")(x, train)
+        t = C(384, 1, 1, "b1a")(x, train)
+        br1 = _concat([C(384, 1, 3, "b1b")(t, train),
+                       C(384, 3, 1, "b1c")(t, train)])
+        t = C(448, 1, 1, "b2a")(x, train)
+        t = C(384, 3, 3, "b2b")(t, train)
+        br2 = _concat([C(384, 1, 3, "b2c")(t, train),
+                       C(384, 3, 1, "b2d")(t, train)])
+        br3 = C(192, 1, 1, "b3")(
+            nn.avg_pool(x, (3, 3), (1, 1), "SAME"), train)
+        return _concat([br0, br1, br2, br3])
+
+
+class InceptionV3(nn.Module):
+    """slim inception_v3.py structure (299² default)."""
+
+    num_classes: int = 1000
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        C = lambda f, kh, kw, s, p, n: ConvBNReLU(
+            f, (kh, kw), s, p, dtype=self.dtype, name=n)
+        x = C(32, 3, 3, 2, "VALID", "conv1a")(x, train)
+        x = C(32, 3, 3, 1, "VALID", "conv2a")(x, train)
+        x = C(64, 3, 3, 1, "SAME", "conv2b")(x, train)
+        x = nn.max_pool(x, (3, 3), (2, 2))
+        x = C(80, 1, 1, 1, "VALID", "conv3b")(x, train)
+        x = C(192, 3, 3, 1, "VALID", "conv4a")(x, train)
+        x = nn.max_pool(x, (3, 3), (2, 2))
+        for i, pf in enumerate((32, 64, 64)):
+            x = _MixedV3A(pf, dtype=self.dtype, name=f"mixed5_{i}")(x, train)
+        # grid reduction 35→17
+        br0 = C(384, 3, 3, 2, "VALID", "red1_b0")(x, train)
+        t = C(64, 1, 1, 1, "SAME", "red1_b1a")(x, train)
+        t = C(96, 3, 3, 1, "SAME", "red1_b1b")(t, train)
+        br1 = C(96, 3, 3, 2, "VALID", "red1_b1c")(t, train)
+        x = _concat([br0, br1, nn.max_pool(x, (3, 3), (2, 2))])
+        for i, c7 in enumerate((128, 160, 160, 192)):
+            x = _MixedV3B(c7, dtype=self.dtype, name=f"mixed6_{i}")(x, train)
+        # grid reduction 17→8
+        t = C(192, 1, 1, 1, "SAME", "red2_b0a")(x, train)
+        br0 = C(320, 3, 3, 2, "VALID", "red2_b0b")(t, train)
+        t = C(192, 1, 1, 1, "SAME", "red2_b1a")(x, train)
+        t = C(192, 1, 7, 1, "SAME", "red2_b1b")(t, train)
+        t = C(192, 7, 1, 1, "SAME", "red2_b1c")(t, train)
+        br1 = C(192, 3, 3, 2, "VALID", "red2_b1d")(t, train)
+        x = _concat([br0, br1, nn.max_pool(x, (3, 3), (2, 2))])
+        for i in range(2):
+            x = _MixedV3C(dtype=self.dtype, name=f"mixed7_{i}")(x, train)
+        x = jnp.mean(x, axis=(1, 2))
+        x = nn.Dropout(0.2, deterministic=not train)(x)
+        return nn.Dense(self.num_classes, dtype=self.dtype,
+                        name="logits")(x).astype(jnp.float32)
+
+
+class _IRBlock(nn.Module):
+    """Inception-ResNet residual block (block35/17/8 families) with the
+    canonical residual scaling."""
+
+    kind: str  # "35" | "17" | "8"
+    scale: float
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        C = lambda f, kh, kw, n: ConvBNReLU(f, (kh, kw), dtype=self.dtype,
+                                            name=n)
+        if self.kind == "35":
+            br0 = C(32, 1, 1, "b0")(x, train)
+            br1 = C(32, 3, 3, "b1b")(C(32, 1, 1, "b1a")(x, train), train)
+            t = C(32, 1, 1, "b2a")(x, train)
+            t = C(48, 3, 3, "b2b")(t, train)
+            br2 = C(64, 3, 3, "b2c")(t, train)
+            mixed = _concat([br0, br1, br2])
+        elif self.kind == "17":
+            br0 = C(192, 1, 1, "b0")(x, train)
+            t = C(128, 1, 1, "b1a")(x, train)
+            t = C(160, 1, 7, "b1b")(t, train)
+            br1 = C(192, 7, 1, "b1c")(t, train)
+            mixed = _concat([br0, br1])
+        else:
+            br0 = C(192, 1, 1, "b0")(x, train)
+            t = C(192, 1, 1, "b1a")(x, train)
+            t = C(224, 1, 3, "b1b")(t, train)
+            br1 = C(256, 3, 1, "b1c")(t, train)
+            mixed = _concat([br0, br1])
+        # linear 1×1 projection back to the trunk width (no BN/ReLU)
+        up = nn.Conv(x.shape[-1], (1, 1), dtype=self.dtype, name="up")(mixed)
+        return nn.relu(x + self.scale * up)
+
+
+class InceptionResnetV2(nn.Module):
+    """slim inception_resnet_v2.py structure (299² default); the
+    adversarial variant feeds it through models.contrast."""
+
+    num_classes: int = 1000
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        C = lambda f, kh, kw, s, p, n: ConvBNReLU(
+            f, (kh, kw), s, p, dtype=self.dtype, name=n)
+        x = C(32, 3, 3, 2, "VALID", "conv1a")(x, train)
+        x = C(32, 3, 3, 1, "VALID", "conv2a")(x, train)
+        x = C(64, 3, 3, 1, "SAME", "conv2b")(x, train)
+        x = nn.max_pool(x, (3, 3), (2, 2))
+        x = C(80, 1, 1, 1, "VALID", "conv3b")(x, train)
+        x = C(192, 3, 3, 1, "VALID", "conv4a")(x, train)
+        x = nn.max_pool(x, (3, 3), (2, 2))
+        # Mixed_5b
+        br0 = C(96, 1, 1, 1, "SAME", "m5_b0")(x, train)
+        br1 = C(64, 5, 5, 1, "SAME", "m5_b1b")(
+            C(48, 1, 1, 1, "SAME", "m5_b1a")(x, train), train)
+        t = C(64, 1, 1, 1, "SAME", "m5_b2a")(x, train)
+        t = C(96, 3, 3, 1, "SAME", "m5_b2b")(t, train)
+        br2 = C(96, 3, 3, 1, "SAME", "m5_b2c")(t, train)
+        br3 = C(64, 1, 1, 1, "SAME", "m5_b3")(
+            nn.avg_pool(x, (3, 3), (1, 1), "SAME"), train)
+        x = _concat([br0, br1, br2, br3])
+        for i in range(10):
+            x = _IRBlock("35", 0.17, dtype=self.dtype,
+                         name=f"block35_{i}")(x, train)
+        # reduction A
+        br0 = C(384, 3, 3, 2, "VALID", "redA_b0")(x, train)
+        t = C(256, 1, 1, 1, "SAME", "redA_b1a")(x, train)
+        t = C(256, 3, 3, 1, "SAME", "redA_b1b")(t, train)
+        br1 = C(384, 3, 3, 2, "VALID", "redA_b1c")(t, train)
+        x = _concat([br0, br1, nn.max_pool(x, (3, 3), (2, 2))])
+        for i in range(20):
+            x = _IRBlock("17", 0.10, dtype=self.dtype,
+                         name=f"block17_{i}")(x, train)
+        # reduction B
+        t = C(256, 1, 1, 1, "SAME", "redB_b0a")(x, train)
+        br0 = C(384, 3, 3, 2, "VALID", "redB_b0b")(t, train)
+        t = C(256, 1, 1, 1, "SAME", "redB_b1a")(x, train)
+        br1 = C(288, 3, 3, 2, "VALID", "redB_b1b")(t, train)
+        t = C(256, 1, 1, 1, "SAME", "redB_b2a")(x, train)
+        t = C(288, 3, 3, 1, "SAME", "redB_b2b")(t, train)
+        br2 = C(320, 3, 3, 2, "VALID", "redB_b2c")(t, train)
+        x = _concat([br0, br1, br2, nn.max_pool(x, (3, 3), (2, 2))])
+        for i in range(9):
+            x = _IRBlock("8", 0.20, dtype=self.dtype,
+                         name=f"block8_{i}")(x, train)
+        x = ConvBNReLU(1536, (1, 1), dtype=self.dtype, name="conv7b")(x, train)
+        x = jnp.mean(x, axis=(1, 2))
+        x = nn.Dropout(0.2, deterministic=not train)(x)
+        return nn.Dense(self.num_classes, dtype=self.dtype,
+                        name="logits")(x).astype(jnp.float32)
+
+
+class InceptionV4(nn.Module):
+    """slim inception_v4.py structure (stem + 4×A, 7×B, 3×C towers)."""
+
+    num_classes: int = 1000
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        C = lambda f, kh, kw, s, p, n: ConvBNReLU(
+            f, (kh, kw), s, p, dtype=self.dtype, name=n)
+        # stem
+        x = C(32, 3, 3, 2, "VALID", "s1")(x, train)
+        x = C(32, 3, 3, 1, "VALID", "s2")(x, train)
+        x = C(64, 3, 3, 1, "SAME", "s3")(x, train)
+        x = _concat([nn.max_pool(x, (3, 3), (2, 2)),
+                     C(96, 3, 3, 2, "VALID", "s4")(x, train)])
+        t0 = C(64, 1, 1, 1, "SAME", "s5a")(x, train)
+        t0 = C(96, 3, 3, 1, "VALID", "s5b")(t0, train)
+        t1 = C(64, 1, 1, 1, "SAME", "s6a")(x, train)
+        t1 = C(64, 1, 7, 1, "SAME", "s6b")(t1, train)
+        t1 = C(64, 7, 1, 1, "SAME", "s6c")(t1, train)
+        t1 = C(96, 3, 3, 1, "VALID", "s6d")(t1, train)
+        x = _concat([t0, t1])
+        x = _concat([C(192, 3, 3, 2, "VALID", "s7")(x, train),
+                     nn.max_pool(x, (3, 3), (2, 2))])
+
+        def block_a(x, i):
+            br0 = C(96, 1, 1, 1, "SAME", f"a{i}_b0")(x, train)
+            br1 = C(96, 3, 3, 1, "SAME", f"a{i}_b1b")(
+                C(64, 1, 1, 1, "SAME", f"a{i}_b1a")(x, train), train)
+            t = C(64, 1, 1, 1, "SAME", f"a{i}_b2a")(x, train)
+            t = C(96, 3, 3, 1, "SAME", f"a{i}_b2b")(t, train)
+            br2 = C(96, 3, 3, 1, "SAME", f"a{i}_b2c")(t, train)
+            br3 = C(96, 1, 1, 1, "SAME", f"a{i}_b3")(
+                nn.avg_pool(x, (3, 3), (1, 1), "SAME"), train)
+            return _concat([br0, br1, br2, br3])
+
+        def block_b(x, i):
+            br0 = C(384, 1, 1, 1, "SAME", f"b{i}_b0")(x, train)
+            t = C(192, 1, 1, 1, "SAME", f"b{i}_b1a")(x, train)
+            t = C(224, 1, 7, 1, "SAME", f"b{i}_b1b")(t, train)
+            br1 = C(256, 7, 1, 1, "SAME", f"b{i}_b1c")(t, train)
+            t = C(192, 1, 1, 1, "SAME", f"b{i}_b2a")(x, train)
+            t = C(192, 7, 1, 1, "SAME", f"b{i}_b2b")(t, train)
+            t = C(224, 1, 7, 1, "SAME", f"b{i}_b2c")(t, train)
+            t = C(224, 7, 1, 1, "SAME", f"b{i}_b2d")(t, train)
+            br2 = C(256, 1, 7, 1, "SAME", f"b{i}_b2e")(t, train)
+            br3 = C(128, 1, 1, 1, "SAME", f"b{i}_b3")(
+                nn.avg_pool(x, (3, 3), (1, 1), "SAME"), train)
+            return _concat([br0, br1, br2, br3])
+
+        def block_c(x, i):
+            br0 = C(256, 1, 1, 1, "SAME", f"c{i}_b0")(x, train)
+            t = C(384, 1, 1, 1, "SAME", f"c{i}_b1a")(x, train)
+            br1 = _concat([C(256, 1, 3, 1, "SAME", f"c{i}_b1b")(t, train),
+                           C(256, 3, 1, 1, "SAME", f"c{i}_b1c")(t, train)])
+            t = C(384, 1, 1, 1, "SAME", f"c{i}_b2a")(x, train)
+            t = C(448, 1, 3, 1, "SAME", f"c{i}_b2b")(t, train)
+            t = C(512, 3, 1, 1, "SAME", f"c{i}_b2c")(t, train)
+            br2 = _concat([C(256, 3, 1, 1, "SAME", f"c{i}_b2d")(t, train),
+                           C(256, 1, 3, 1, "SAME", f"c{i}_b2e")(t, train)])
+            br3 = C(256, 1, 1, 1, "SAME", f"c{i}_b3")(
+                nn.avg_pool(x, (3, 3), (1, 1), "SAME"), train)
+            return _concat([br0, br1, br2, br3])
+
+        for i in range(4):
+            x = block_a(x, i)
+        # reduction A
+        br0 = C(384, 3, 3, 2, "VALID", "redA_b0")(x, train)
+        t = C(192, 1, 1, 1, "SAME", "redA_b1a")(x, train)
+        t = C(224, 3, 3, 1, "SAME", "redA_b1b")(t, train)
+        br1 = C(256, 3, 3, 2, "VALID", "redA_b1c")(t, train)
+        x = _concat([br0, br1, nn.max_pool(x, (3, 3), (2, 2))])
+        for i in range(7):
+            x = block_b(x, i)
+        # reduction B
+        t = C(192, 1, 1, 1, "SAME", "redB_b0a")(x, train)
+        br0 = C(192, 3, 3, 2, "VALID", "redB_b0b")(t, train)
+        t = C(256, 1, 1, 1, "SAME", "redB_b1a")(x, train)
+        t = C(256, 1, 7, 1, "SAME", "redB_b1b")(t, train)
+        t = C(320, 7, 1, 1, "SAME", "redB_b1c")(t, train)
+        br1 = C(320, 3, 3, 2, "VALID", "redB_b1d")(t, train)
+        x = _concat([br0, br1, nn.max_pool(x, (3, 3), (2, 2))])
+        for i in range(3):
+            x = block_c(x, i)
+        x = jnp.mean(x, axis=(1, 2))
+        x = nn.Dropout(0.2, deterministic=not train)(x)
+        return nn.Dense(self.num_classes, dtype=self.dtype,
+                        name="logits")(x).astype(jnp.float32)
+
+
+INCEPTION_ZOO = {
+    "inception_v1": (lambda **kw: InceptionV1(**kw), 224),
+    "inception_v2": (lambda **kw: InceptionV2(**kw), 224),
+    "inception_v3": (lambda **kw: InceptionV3(**kw), 299),
+    "inception_v4": (lambda **kw: InceptionV4(**kw), 299),
+    "inception_resnet_v2": (lambda **kw: InceptionResnetV2(**kw), 299),
+}

@@ -30,6 +30,22 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def maybe_initialize_distributed() -> bool:
+    """Multi-host (DCN) bootstrap: call ``jax.distributed.initialize()``
+    when a cluster environment is detected (JAX_COORDINATOR_ADDRESS /
+    standard cluster env vars). After this, ``jax.devices()`` is global
+    and the same mesh code scales across hosts — the capability of the
+    reference's PS/worker jobs (model_deploy.py:643-678) with no server
+    role. Returns True if distributed mode was initialized."""
+    import os
+
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") or \
+            os.environ.get("COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()
+        return True
+    return False
+
+
 @dataclass(frozen=True)
 class MeshConfig:
     """Mesh shape: data × model. ``data=None`` → all remaining devices."""
@@ -55,6 +71,17 @@ def make_mesh(cfg: MeshConfig = MeshConfig(),
             f"mesh {data}x{model} needs {n} devices, have {len(devices)}")
     grid = np.asarray(devices[:n]).reshape(data, model)
     return Mesh(grid, ("data", "model"))
+
+
+def make_mesh_for_batch(batch_size: int, model: int = 1,
+                        devices: list | None = None) -> Mesh:
+    """Mesh whose data axis is the largest device count dividing the
+    batch — small-batch runs (e.g. the reference's batch-4 resnet
+    trainer) leave surplus devices idle instead of failing to shard."""
+    devices = devices if devices is not None else jax.devices()
+    limit = max(1, len(devices) // model)
+    data = max(d for d in range(1, limit + 1) if batch_size % d == 0)
+    return make_mesh(MeshConfig(data=data, model=model), devices)
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

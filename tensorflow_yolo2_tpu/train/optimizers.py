@@ -117,7 +117,10 @@ def make_optimizer(cfg: OptimizerConfig,
         if params is None:
             raise ValueError("trainable_scopes requires params for masking")
         mask = trainable_mask(params, cfg.trainable_scopes)
-        tx = optax.masked(tx, mask)
+        labels = jax.tree_util.tree_map(
+            lambda m: "train" if m else "freeze", mask)
+        tx = optax.multi_transform(
+            {"train": tx, "freeze": optax.set_to_zero()}, labels)
     return tx
 
 

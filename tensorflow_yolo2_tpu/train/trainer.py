@@ -1,0 +1,236 @@
+"""Generic SPMD Trainer.
+
+The TPU-native replacement for every reference training loop
+(pascal_train_darknet.py:93-114, imagenet_train_darknet.py:106-135,
+slim train_image_classifier.py + model_deploy.py): one jitted train step
+— loss → grad → optax update, with BatchNorm statistics threaded through
+— compiled once over a ('data', 'model') Mesh.
+
+Parallelism notes (SURVEY §2.3):
+
+- the reference's clone-per-GPU replication and ``tf.add_n`` gradient
+  summation become GSPMD: the batch is sharded over the 'data' axis and
+  XLA inserts the gradient all-reduce over ICI;
+- BatchNorm under jit/GSPMD computes moments over the *logical* (global)
+  batch — cross-replica stat sync falls out of the compilation model
+  instead of being a per-clone approximation;
+- SyncReplicasOptimizer disappears: SPMD steps are synchronous by
+  construction;
+- the 'model' axis shards large weights (parallel.shard_params) for
+  tensor parallelism.
+
+The step donates the input state, so parameters are updated in place in
+HBM (no params-sized extra allocation).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Mapping, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tensorflow_yolo2_tpu.config import OptimizerConfig, YoloConfig
+from tensorflow_yolo2_tpu.losses.yolo import yolo_loss
+from tensorflow_yolo2_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    shard_params,
+)
+from tensorflow_yolo2_tpu.train.optimizers import make_ema, make_optimizer
+
+
+class TrainState(flax.struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    ema_params: Any = None
+    rng: jax.Array = None
+
+
+# -- task losses ---------------------------------------------------------------
+
+
+def yolo_task(yolo_cfg: YoloConfig) -> Callable:
+    """Detection task: YOLO grid loss + per-term metrics."""
+
+    def task(outputs: jnp.ndarray, labels: jnp.ndarray):
+        total, aux = yolo_loss(outputs, labels, yolo_cfg)
+        metrics = {
+            "loss": total,
+            "class_loss": aux.class_loss,
+            "object_loss": aux.object_loss,
+            "noobject_loss": aux.noobject_loss,
+            "coord_loss": aux.coord_loss,
+            "mean_iou": jnp.sum(aux.ious * aux.object_mask) /
+            jnp.maximum(jnp.sum(aux.object_mask), 1.0),
+        }
+        return total, metrics
+
+    return task
+
+
+def softmax_task() -> Callable:
+    """Classification task: sparse softmax CE + accuracy (reference
+    imagenet_train_darknet.py:50-61, flowers_train.py:25-35)."""
+
+    def task(logits: jnp.ndarray, labels: jnp.ndarray):
+        loss = jnp.mean(optax.softmax_cross_entropy_with_integer_labels(
+            logits, labels))
+        acc = jnp.mean((jnp.argmax(logits, -1) == labels).astype(jnp.float32))
+        return loss, {"loss": loss, "accuracy": acc}
+
+    return task
+
+
+# -- trainer -------------------------------------------------------------------
+
+
+class Trainer:
+    """Owns the jitted train/eval steps for (model, task, optimizer, mesh)."""
+
+    def __init__(self, model: Any, task: Callable,
+                 opt_cfg: OptimizerConfig = OptimizerConfig(),
+                 mesh: Optional[Mesh] = None, donate: bool = True):
+        self.model = model
+        self.task = task
+        self.opt_cfg = opt_cfg
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.tx: optax.GradientTransformation | None = None
+        self._ema = (make_ema(opt_cfg.moving_average_decay)
+                     if opt_cfg.moving_average_decay else None)
+        self._donate = donate
+        self._train_step = None
+        self._eval_step = None
+
+    # -- state ------------------------------------------------------------
+
+    def create_state(self, rng: jax.Array, sample_batch: Any,
+                     params_override: Any = None,
+                     batch_stats_override: Any = None) -> TrainState:
+        """Initialize (or adopt) variables and shard them onto the mesh."""
+        init_rng, state_rng = jax.random.split(rng)
+        variables = self.model.init(init_rng, sample_batch, train=False)
+        params = params_override if params_override is not None \
+            else variables["params"]
+        batch_stats = batch_stats_override if batch_stats_override is not None \
+            else variables.get("batch_stats", {})
+        self.tx = make_optimizer(self.opt_cfg, params)
+        opt_state = self.tx.init(params)
+        # EMA starts at the params but must hold *distinct* buffers: the
+        # train step donates the state, and donating the same buffer via
+        # two tree leaves is a runtime error.
+        ema = (jax.tree_util.tree_map(jnp.copy, params)
+               if self._ema else None)
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=opt_state,
+            ema_params=ema,
+            rng=state_rng,
+        )
+        return self.shard_state(state)
+
+    def shard_state(self, state: TrainState) -> TrainState:
+        """Lay the state out on the mesh: TP policy for weight-shaped
+        leaves (incl. optimizer slots), replication for the rest."""
+        shardings = shard_params(state, self.mesh)
+        return jax.device_put(state, shardings)
+
+    def resume_optimizer(self, state: TrainState) -> TrainState:
+        """Optimizer-swap on resume (reference net_utils.py:203-212):
+        rebuild opt state fresh for the current params."""
+        self.tx = make_optimizer(self.opt_cfg, state.params)
+        return state.replace(opt_state=self.tx.init(state.params))
+
+    # -- steps -------------------------------------------------------------
+
+    def _apply(self, params: Any, batch_stats: Any, images: jnp.ndarray,
+               train: bool, rng: jax.Array | None):
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        kwargs: dict[str, Any] = {"train": train}
+        if train:
+            rngs = {"dropout": rng} if rng is not None else None
+            if batch_stats:
+                outputs, mutated = self.model.apply(
+                    variables, images, mutable=["batch_stats"], rngs=rngs,
+                    **kwargs)
+                return outputs, mutated["batch_stats"]
+            # no mutable collections: apply returns outputs directly
+            return self.model.apply(variables, images, rngs=rngs,
+                                    **kwargs), batch_stats
+        return self.model.apply(variables, images, **kwargs), batch_stats
+
+    def _make_train_step(self):
+        tx = self.tx
+        assert tx is not None, "create_state first"
+
+        def step(state: TrainState, images: jnp.ndarray,
+                 labels: jnp.ndarray):
+            step_rng, next_rng = jax.random.split(state.rng)
+
+            def loss_fn(params):
+                outputs, new_stats = self._apply(
+                    params, state.batch_stats, images, True, step_rng)
+                loss, metrics = self.task(outputs, labels)
+                return loss, (new_stats, metrics)
+
+            grads, (new_stats, metrics) = jax.grad(
+                loss_fn, has_aux=True)(state.params)
+            updates, new_opt = tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            ema = (self._ema(state.ema_params, params)
+                   if self._ema else state.ema_params)
+            new_state = state.replace(
+                step=state.step + 1, params=params, batch_stats=new_stats,
+                opt_state=new_opt, ema_params=ema, rng=next_rng)
+            return new_state, metrics
+
+        donate = (0,) if self._donate else ()
+        return jax.jit(step, donate_argnums=donate)
+
+    def _make_eval_step(self):
+        def step(state: TrainState, images: jnp.ndarray,
+                 labels: jnp.ndarray):
+            params = state.ema_params if self._ema else state.params
+            outputs, _ = self._apply(params, state.batch_stats, images,
+                                     False, None)
+            _, metrics = self.task(outputs, labels)
+            return metrics
+
+        return jax.jit(step)
+
+    def train_step(self, state: TrainState, images: Any,
+                   labels: Any) -> tuple[TrainState, Mapping[str, Any]]:
+        if self._train_step is None:
+            self._train_step = self._make_train_step()
+        return self._train_step(state, images, labels)
+
+    def eval_step(self, state: TrainState, images: Any,
+                  labels: Any) -> Mapping[str, Any]:
+        if self._eval_step is None:
+            self._eval_step = self._make_eval_step()
+        return self._eval_step(state, images, labels)
+
+    # -- data placement ------------------------------------------------------
+
+    def put_batch(self, images: Any, labels: Any) -> tuple[Any, Any]:
+        """Shard a host batch over the data axis."""
+        sh = batch_sharding(self.mesh)
+        return jax.device_put(images, sh), jax.device_put(labels, sh)
+
+    @functools.cached_property
+    def batch_sharding(self) -> NamedSharding:
+        return batch_sharding(self.mesh)
+
+    @functools.cached_property
+    def replicated(self) -> NamedSharding:
+        return NamedSharding(self.mesh, P())

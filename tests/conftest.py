@@ -7,11 +7,18 @@ pjit analog of the reference's device-placement-string tests
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+# Force CPU even when the ambient environment points JAX at a TPU
+# (JAX_PLATFORMS=axon — the env var alone does not win against the axon
+# plugin, the config update does): unit tests exercise sharding on 8
+# virtual devices.
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

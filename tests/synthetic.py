@@ -1,0 +1,73 @@
+"""Synthetic on-disk dataset fixtures (VOC tree, flowers dirs) for tests
+and smoke training — no real data is mounted in this environment."""
+
+from __future__ import annotations
+
+import os
+
+import cv2
+import numpy as np
+
+
+def make_image(path: str, w: int = 320, h: int = 240, seed: int = 0,
+               boxes: list | None = None) -> None:
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 255, (h, w, 3), np.uint8)
+    for (x1, y1, x2, y2) in boxes or []:
+        color = tuple(int(c) for c in rng.randint(0, 255, 3))
+        cv2.rectangle(img, (int(x1), int(y1)), (int(x2), int(y2)), color, -1)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    cv2.imwrite(path, img)
+
+
+def _xml(index: str, w: int, h: int, objects: list[tuple[str, tuple]]) -> str:
+    parts = [f"<annotation><filename>{index}.jpg</filename>",
+             f"<size><width>{w}</width><height>{h}</height>"
+             "<depth>3</depth></size>"]
+    for name, (x1, y1, x2, y2) in objects:
+        parts.append(
+            f"<object><name>{name}</name><bndbox>"
+            f"<xmin>{x1}</xmin><ymin>{y1}</ymin>"
+            f"<xmax>{x2}</xmax><ymax>{y2}</ymax></bndbox></object>")
+    parts.append("</annotation>")
+    return "".join(parts)
+
+
+def make_voc(root: str, n_images: int = 4, image_set: str = "trainval",
+             w: int = 320, h: int = 240) -> str:
+    """Create a minimal VOC2007 tree; returns the VOC2007 dir."""
+    voc = os.path.join(root, "VOC2007")
+    os.makedirs(os.path.join(voc, "ImageSets", "Main"), exist_ok=True)
+    os.makedirs(os.path.join(voc, "Annotations"), exist_ok=True)
+    rng = np.random.RandomState(7)
+    indices = []
+    for i in range(n_images):
+        index = f"{i:06d}"
+        indices.append(index)
+        objs = []
+        boxes = []
+        for _ in range(rng.randint(1, 4)):
+            x1 = rng.randint(1, w - 60)
+            y1 = rng.randint(1, h - 60)
+            x2 = x1 + rng.randint(30, 60)
+            y2 = y1 + rng.randint(30, 60)
+            cls = ["dog", "person", "car", "cat"][rng.randint(4)]
+            objs.append((cls, (x1, y1, x2, y2)))
+            boxes.append((x1, y1, x2, y2))
+        make_image(os.path.join(voc, "JPEGImages", index + ".jpg"),
+                   w, h, seed=i, boxes=boxes)
+        with open(os.path.join(voc, "Annotations", index + ".xml"), "w") as f:
+            f.write(_xml(index, w, h, objs))
+    with open(os.path.join(voc, "ImageSets", "Main",
+                           image_set + ".txt"), "w") as f:
+        f.write("\n".join(indices) + "\n")
+    return voc
+
+
+def make_flowers(root: str, classes: tuple = ("daisy", "rose", "tulip"),
+                 per_class: int = 6) -> str:
+    for ci, cls in enumerate(classes):
+        for i in range(per_class):
+            make_image(os.path.join(root, cls, f"{cls}_{i}.jpg"),
+                       96, 96, seed=ci * 100 + i)
+    return root

@@ -1,0 +1,82 @@
+"""Checkpoint manager tests: resume / warm-start / exclusion / retention
+(the reference's three restore modes, net_utils.py:64-219)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tensorflow_yolo2_tpu.train.checkpoint import (
+    CheckpointManager,
+    merge_pytrees,
+    warm_start_params,
+)
+
+
+def make_state(value: float):
+    return {
+        "params": {"backbone": {"conv1": {"kernel": jnp.full((3, 3), value)}},
+                   "head": {"kernel": jnp.full((5,), value * 2)}},
+        "step": jnp.asarray(int(value), jnp.int32),
+    }
+
+
+def test_save_restore_roundtrip(tmp_root):
+    mgr = CheckpointManager("darknet19", "voc_2007", save_by_epoch=False)
+    state = make_state(3.0)
+    mgr.save(10, state)
+    assert mgr.latest_step() == 10
+    restored, step = mgr.restore(jax.tree_util.tree_map(jnp.zeros_like, state))
+    assert step == 10
+    np.testing.assert_array_equal(
+        restored["params"]["backbone"]["conv1"]["kernel"], 3.0)
+
+
+def test_latest_selection_and_retention(tmp_root):
+    mgr = CheckpointManager("darknet19", "voc_2007", keep=2)
+    for s in (1, 2, 3, 4):
+        mgr.save(s, make_state(float(s)))
+    assert mgr.latest_step() == 4
+    assert mgr.all_steps() == [3, 4]  # retention pruned 1, 2
+
+
+def test_epoch_vs_iter_namespaces(tmp_root):
+    it = CheckpointManager("darknet19", "ilsvrc_2017_cls", save_by_epoch=False)
+    ep = CheckpointManager("darknet19", "ilsvrc_2017_cls", save_by_epoch=True)
+    it.save(100, make_state(1.0))
+    ep.save(2, make_state(2.0))
+    # interval namespaces don't collide (reference epoch/iter prefixes)
+    assert it.latest_step() == 100
+    assert ep.latest_step() == 2
+
+
+def test_merge_pytrees_intersection_and_exclusion():
+    init = make_state(0.0)
+    donor = make_state(7.0)
+    merged, n = merge_pytrees(init["params"], donor["params"],
+                              exclude_scopes=("head",))
+    np.testing.assert_array_equal(
+        merged["backbone"]["conv1"]["kernel"], 7.0)
+    np.testing.assert_array_equal(merged["head"]["kernel"], 0.0)  # excluded
+    assert n == 1
+
+
+def test_merge_skips_shape_mismatch():
+    init = {"w": jnp.zeros((3,)), "v": jnp.zeros((2,))}
+    donor = {"w": jnp.ones((4,)), "v": jnp.ones((2,))}
+    merged, n = merge_pytrees(init, donor)
+    np.testing.assert_array_equal(merged["w"], 0.0)  # shape mismatch → init
+    np.testing.assert_array_equal(merged["v"], 1.0)
+    assert n == 1
+
+
+def test_warm_start_from_other_run(tmp_root):
+    """The imagenet→pascal warm-start path (net_utils.py:64-110): new run
+    restores the intersection from another run's snapshot."""
+    donor_mgr = CheckpointManager("darknet19", "ilsvrc_2017_cls")
+    donor_mgr.save(88, make_state(5.0))
+    init = make_state(0.0)["params"]
+    merged, n = warm_start_params(init, donor_mgr.latest_path(),
+                                  exclude_scopes=("head",))
+    np.testing.assert_array_equal(merged["backbone"]["conv1"]["kernel"], 5.0)
+    np.testing.assert_array_equal(merged["head"]["kernel"], 0.0)
+    assert n == 1

@@ -1,0 +1,92 @@
+"""End-to-end smoke tests through the CLI entries (the analog of the
+reference's shell-recipe integration tests, slim_dir/scripts/*.sh):
+train-on-synthetic-data → checkpoint → resume → detect-from-checkpoint,
+all on the 8-device CPU mesh."""
+
+import os
+
+import numpy as np
+import pytest
+
+from tests import synthetic
+
+
+@pytest.mark.slow
+def test_flowers_train_entry_end_to_end(tmp_root, monkeypatch):
+    from tensorflow_yolo2_tpu.entries import flowers_train
+
+    flowers_dir = synthetic.make_flowers(
+        str(tmp_root / "data" / "TF_flowers"), per_class=4)
+    rc = flowers_train.main([
+        "--iters", "4", "--batch-size", "4", "--image-size", "64",
+        "--num-workers", "1", "--eval-every", "2", "--save-every", "4",
+        "--data-path", flowers_dir, "--compute-dtype", "float32"])
+    assert rc == 0
+    ckpt_dir = tmp_root / "ckpts" / "darknet19" / "tf_flowers"
+    assert (ckpt_dir / "train_iter_4").exists()
+    events = tmp_root / "tensorboard" / "darknet19" / "tf_flowers" / \
+        "train" / "events.jsonl"
+    assert events.exists()
+
+    # resume: next run starts from iter 4
+    rc = flowers_train.main([
+        "--iters", "2", "--batch-size", "4", "--image-size", "64",
+        "--num-workers", "1", "--eval-every", "100", "--save-every", "2",
+        "--data-path", flowers_dir, "--compute-dtype", "float32"])
+    assert rc == 0
+    assert (ckpt_dir / "train_iter_6").exists()
+
+
+@pytest.mark.slow
+def test_pascal_train_then_detect_end_to_end(tmp_root):
+    from tensorflow_yolo2_tpu.entries import (
+        pascal_detect_darknet,
+        pascal_train_darknet,
+    )
+
+    voc = synthetic.make_voc(str(tmp_root / "data" / "VOCdevkit"),
+                             n_images=3)
+    rc = pascal_train_darknet.main([
+        "--iters", "2", "--batch-size", "2", "--num-workers", "1",
+        "--save-every", "2", "--data-path", voc,
+        "--compute-dtype", "float32"])
+    assert rc == 0
+    assert (tmp_root / "ckpts" / "darknet19" / "voc_2007" /
+            "train_iter_2").exists()
+
+    image = os.path.join(voc, "JPEGImages", "000000.jpg")
+    out_path = str(tmp_root / "out.png")
+    rc = pascal_detect_darknet.main(
+        [image, "--threshold", "0.1", "--nms", "--out", out_path])
+    assert rc == 0
+    assert os.path.exists(out_path)
+
+
+@pytest.mark.slow
+def test_train_classifier_entry_synthetic(tmp_root):
+    from tensorflow_yolo2_tpu.entries import train_classifier
+
+    rc = train_classifier.main([
+        "--model-name", "lenet", "--dataset-name", "synthetic",
+        "--iters", "3", "--batch-size", "8", "--num-workers", "1",
+        "--optimizer", "sgd", "--learning-rate", "0.01",
+        "--compute-dtype", "float32", "--save-every", "3"])
+    assert rc == 0
+    assert (tmp_root / "ckpts" / "lenet" / "synthetic_10" /
+            "train_iter_3").exists()
+
+
+def test_registry_zoo_models_forward():
+    import jax
+    import numpy as np
+
+    from tensorflow_yolo2_tpu.models.registry import get_network
+
+    x = np.random.RandomState(0).normal(
+        0, 1, (1, 32, 32, 3)).astype(np.float32)
+    for name in ("lenet", "cifarnet"):
+        model = get_network(name, num_classes=7)
+        variables = model.init(jax.random.PRNGKey(0), x, train=False)
+        y = model.apply(variables, x, train=False)
+        assert y.shape == (1, 7)
+        assert np.isfinite(np.asarray(y)).all()
