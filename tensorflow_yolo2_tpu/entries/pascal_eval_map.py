@@ -1,0 +1,72 @@
+"""VOC mAP@0.5 evaluation over a Pascal image set.
+
+The north-star quality metric (BASELINE.md): the reference ships no
+evaluator at all — its only validation is eyeballing drawn boxes. This
+entry runs the jitted detect path (forward + fused decode + NMS) over a
+VOC split in batches and reports per-class AP + mAP via eval.voc_map.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from tensorflow_yolo2_tpu.config import VOC_CLASSES, YoloConfig
+from tensorflow_yolo2_tpu.entries import common
+from tensorflow_yolo2_tpu.entries.pascal_detect_darknet import (
+    load_detector_params,
+    make_detect_fn,
+)
+from tensorflow_yolo2_tpu.eval import VocMapEvaluator
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = common.base_parser(__doc__)
+    p.add_argument("--image-set", default="test")
+    p.add_argument("--threshold", type=float, default=0.005,
+                   help="low decode threshold: mAP wants deep recall")
+    p.add_argument("--nms-iou", type=float, default=0.5)
+    p.add_argument("--iou", type=float, default=0.5, help="match IoU")
+    p.add_argument("--use-07-metric", action="store_true")
+    p.add_argument("--max-images", type=int, default=None)
+    args = p.parse_args(argv)
+
+    from tensorflow_yolo2_tpu.data.voc import PascalVOC
+
+    batch_size = args.batch_size or 32
+    yolo = YoloConfig()
+    imdb = PascalVOC(args.image_set, batch_size=batch_size,
+                     yolo=yolo, data_path=args.data_path)
+    params, stats = load_detector_params(yolo, args.tf_checkpoint)
+    detect = make_detect_fn(yolo, params, stats, args.threshold,
+                            use_nms=True, nms_iou=args.nms_iou)
+
+    evaluator = VocMapEvaluator(imdb.num_class, iou_thresh=args.iou,
+                                use_07_metric=args.use_07_metric)
+    n_images = min(args.max_images or len(imdb.gt_labels),
+                   len(imdb.gt_labels))
+    image_id = 0
+    while image_id < n_images:
+        images, labels = imdb.get()
+        dets = detect(images)
+        boxes = np.asarray(dets.boxes)
+        scores = np.asarray(dets.scores)
+        classes = np.asarray(dets.classes)
+        for b in range(batch_size):
+            if image_id >= n_images:
+                break
+            evaluator.add_label_grid(image_id, boxes[b], scores[b],
+                                     classes[b], labels[b], yolo.image_size)
+            image_id += 1
+        if image_id % (batch_size * 4) == 0:
+            print(f"evaluated {image_id}/{n_images} images")
+
+    mAP, aps = evaluator.mean_ap()
+    for cls, ap in sorted(aps.items()):
+        print(f"AP[{imdb.classes[cls]}] = {ap:.4f}")
+    print(f"mAP@{args.iou} = {mAP:.4f} over {n_images} images "
+          f"({'VOC07 11-point' if args.use_07_metric else 'all-points'})")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

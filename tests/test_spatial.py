@@ -1,0 +1,63 @@
+"""Spatial-sharding equivalence: the H-sharded halo-exchange trunk must
+match the unsharded folded backbone to fp tolerance."""
+
+import jax
+import numpy as np
+import pytest
+
+from tensorflow_yolo2_tpu.models.darknet import Darknet19Backbone
+from tensorflow_yolo2_tpu.models.fold import fold_params
+from tensorflow_yolo2_tpu.parallel.mesh import MeshConfig, make_mesh
+from tensorflow_yolo2_tpu.parallel.spatial import (
+    halo_exchange,
+    spatial_backbone_fn,
+)
+
+
+def test_halo_exchange_matches_manual_shift():
+    mesh = make_mesh(MeshConfig(data=4, model=1))
+    from functools import partial
+
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    x = np.arange(4 * 8 * 2 * 1, dtype=np.float32).reshape(1, 32, 2, 1)
+    fn = jax.jit(jax.shard_map(
+        partial(halo_exchange, axis_name="data"), mesh=mesh,
+        in_specs=P(None, "data", None, None),
+        out_specs=P(None, "data", None, None)))
+    out = np.asarray(fn(jax.device_put(
+        x, NamedSharding(mesh, P(None, "data", None, None)))))
+    # each local 8-row block gains a row above and below:
+    # shard 0 rows: [zeros, x[0:8], x[8]]; shard 1: [x[7], x[8:16], x[16]] ...
+    assert out.shape == (1, 40, 2, 1)
+    np.testing.assert_array_equal(out[0, 0], 0.0)          # top edge zero
+    np.testing.assert_array_equal(out[0, 1:9], x[0, 0:8])   # shard 0 body
+    np.testing.assert_array_equal(out[0, 9], x[0, 8])       # halo from next
+    np.testing.assert_array_equal(out[0, 10], x[0, 7])      # halo from prev
+    np.testing.assert_array_equal(out[0, -1], 0.0)          # bottom edge
+
+
+@pytest.mark.slow
+def test_spatial_backbone_matches_unsharded():
+    mesh = make_mesh(MeshConfig(data=4, model=1))
+    model = Darknet19Backbone()
+    x = np.random.RandomState(0).normal(
+        0, 1, (1, 128, 64, 3)).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), x[:, :32], train=False)
+    folded = fold_params(variables["params"], variables["batch_stats"])
+
+    ref_model = Darknet19Backbone(fold_bn=True)
+    want = np.asarray(ref_model.apply({"params": folded}, x, train=False))
+
+    forward = spatial_backbone_fn(mesh, axis="data")
+    got = np.asarray(forward(folded, x))
+    assert got.shape == want.shape == (1, 4, 2, 1024)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_spatial_backbone_rejects_bad_height():
+    mesh = make_mesh(MeshConfig(data=4, model=1))
+    forward = spatial_backbone_fn(mesh, axis="data")
+    with pytest.raises(ValueError, match="divisible by 32"):
+        forward({}, np.zeros((1, 96, 64, 3), np.float32))
