@@ -27,13 +27,19 @@ import numpy as np
 _CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                       "BASELINE_MEASURED.json")
 _IMAGE = 448
-_BATCH = int(os.environ.get("BENCH_BATCH", "32"))
+# batch sweep on v5e (benchmarks/compare_fast_stem.py): 32→2063 img/s,
+# 128→3764, 256→3856; 128 is the knee
+_BATCH = int(os.environ.get("BENCH_BATCH", "128"))
 _STEPS = int(os.environ.get("BENCH_STEPS", "20"))
 
 
 def measure_tpu() -> dict:
     import jax
     import jax.numpy as jnp
+
+    from tensorflow_yolo2_tpu.utils.jaxsetup import enable_compilation_cache
+
+    enable_compilation_cache()
 
     from tensorflow_yolo2_tpu.config import YoloConfig
     from tensorflow_yolo2_tpu.models.darknet import Darknet19Detector

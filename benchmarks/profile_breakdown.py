@@ -9,8 +9,11 @@ where the wall-clock is. Run from the repo root:
 
 from __future__ import annotations
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
 
 import jax
 import jax.numpy as jnp
@@ -74,13 +77,16 @@ def main() -> None:
         np.random.RandomState(0).uniform(-1, 1, (BATCH, SIZE, SIZE, 3)),
         jnp.float32))
 
-    stem = jax.jit(lambda p, v: prefix_forward(p, v, 2))
-    half = jax.jit(lambda p, v: prefix_forward(p, v, 8))
-    trunk = jax.jit(lambda p, v: prefix_forward(p, v, 18))
-    full = jax.jit(lambda p, v: fmodel.apply({"params": p}, v, train=False))
-    full_decode = jax.jit(lambda p, v: jax.vmap(
+    # reduce every output to a scalar inside the jit: the host fetch that
+    # forces completion must not time a multi-MB tunnel transfer
+    stem = jax.jit(lambda p, v: jnp.sum(prefix_forward(p, v, 2)))
+    half = jax.jit(lambda p, v: jnp.sum(prefix_forward(p, v, 8)))
+    trunk = jax.jit(lambda p, v: jnp.sum(prefix_forward(p, v, 18)))
+    full = jax.jit(lambda p, v: jnp.sum(
+        fmodel.apply({"params": p}, v, train=False)))
+    full_decode = jax.jit(lambda p, v: jnp.sum(jax.vmap(
         lambda g: decode_grid(g, yolo, 0.5))(
-            fmodel.apply({"params": p}, v, train=False)))
+            fmodel.apply({"params": p}, v, train=False)).scores))
 
     rows = [("stem (conv1-2 + pools)", stem),
             ("conv1-8", half),

@@ -27,6 +27,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--max-batches", type=int, default=None)
     args = p.parse_args(argv)
 
+    from tensorflow_yolo2_tpu.utils.jaxsetup import enable_compilation_cache
+    enable_compilation_cache()
+
     batch_size = args.batch_size or 64
     dtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
     imdb = get_dataset(args.dataset_name, args.dataset_split_name,

@@ -31,6 +31,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--image-size", type=int, default=224)
     args = p.parse_args(argv)
 
+    from tensorflow_yolo2_tpu.utils.jaxsetup import enable_compilation_cache
+    enable_compilation_cache()
+
     batch_size = args.batch_size or 16
     iters = args.iters or 1000
     lr = args.learning_rate or 1e-4

@@ -28,6 +28,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--image-size", type=int, default=224)
     args = p.parse_args(argv)
 
+    from tensorflow_yolo2_tpu.utils.jaxsetup import enable_compilation_cache
+    enable_compilation_cache()
+
     imdb = IlsvrcCls("train", batch_size=1, data_path=args.data_path)
     mgr = CheckpointManager("darknet19", imdb.name, save_by_epoch=True,
                             paths=Paths())

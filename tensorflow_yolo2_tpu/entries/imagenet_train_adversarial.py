@@ -38,6 +38,9 @@ def main(argv: list[str] | None = None) -> int:
                    help="±ε sign-noise augmentation in the host loader")
     args = p.parse_args(argv)
 
+    from tensorflow_yolo2_tpu.utils.jaxsetup import enable_compilation_cache
+    enable_compilation_cache()
+
     batch_size = args.batch_size or 18      # reference batch (:96)
     iters = args.iters or 10_000
     lr = args.learning_rate or 1e-3

@@ -36,6 +36,9 @@ def main(argv: list[str] | None = None) -> int:
     p = common.base_parser(__doc__)
     args = p.parse_args(argv)
 
+    from tensorflow_yolo2_tpu.utils.jaxsetup import enable_compilation_cache
+    enable_compilation_cache()
+
     batch_size = args.batch_size or 48      # reference config.py:32
     epochs = args.epochs or 10              # reference :106
     lr = args.learning_rate or 1e-3         # reference :58

@@ -32,6 +32,9 @@ def main(argv: list[str] | None = None) -> int:
                    help="train the whole net, not just the logits scope")
     args = p.parse_args(argv)
 
+    from tensorflow_yolo2_tpu.utils.jaxsetup import enable_compilation_cache
+    enable_compilation_cache()
+
     batch_size = args.batch_size or 32
     epochs = args.epochs or 10
     lr = args.learning_rate or 1e-3

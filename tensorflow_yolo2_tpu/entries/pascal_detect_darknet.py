@@ -94,9 +94,18 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--tf-checkpoint", default=None)
     p.add_argument("--out", default=None)
     p.add_argument("--no-fold-bn", action="store_true")
+    p.add_argument("--image-size", type=int, default=224,
+                   help="multiscale input (multiple of 32); the net is "
+                        "fully convolutional, the grid scales to S=size/32 "
+                        "(448 is the headline Darknet19-448 config)")
     args = p.parse_args(argv)
 
-    yolo = YoloConfig()
+    from tensorflow_yolo2_tpu.utils.jaxsetup import enable_compilation_cache
+    enable_compilation_cache()
+
+    if args.image_size % 32:
+        p.error("--image-size must be a multiple of 32")
+    yolo = YoloConfig(S=args.image_size // 32, image_size=args.image_size)
     params, stats = load_detector_params(yolo, args.tf_checkpoint)
     detect = make_detect_fn(yolo, params, stats, args.threshold,
                             use_nms=args.nms, fold_bn=not args.no_fold_bn)

@@ -33,6 +33,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--out", default=None)
     args = p.parse_args(argv)
 
+    from tensorflow_yolo2_tpu.utils.jaxsetup import enable_compilation_cache
+    enable_compilation_cache()
+
     yolo = YoloConfig()
     paths = Paths()
     mgr = CheckpointManager("resnet50", "voc_2007", save_by_epoch=False,

@@ -34,6 +34,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--flipped", action="store_true")
     args = p.parse_args(argv)
 
+    from tensorflow_yolo2_tpu.utils.jaxsetup import enable_compilation_cache
+    enable_compilation_cache()
+
     batch_size = args.batch_size or 24      # reference :30
     iters = args.iters or 80_000            # reference :96
     lr = args.learning_rate or 1e-3         # TF AdamOptimizer default (:51)

@@ -36,6 +36,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--image-set", default="trainval")
     args = p.parse_args(argv)
 
+    from tensorflow_yolo2_tpu.utils.jaxsetup import enable_compilation_cache
+    enable_compilation_cache()
+
     batch_size = args.batch_size or 4       # reference :27
     iters = args.iters or 200_000           # reference :82
     lr = args.learning_rate or 5e-4         # reference :59

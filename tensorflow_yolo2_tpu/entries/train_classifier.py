@@ -68,6 +68,9 @@ def main(argv: list[str] | None = None) -> int:
     add_slim_flags(p)
     args = p.parse_args(argv)
 
+    from tensorflow_yolo2_tpu.utils.jaxsetup import enable_compilation_cache
+    enable_compilation_cache()
+
     batch_size = args.batch_size or 32
     iters = args.iters or 1000
     lr = args.learning_rate or 0.01

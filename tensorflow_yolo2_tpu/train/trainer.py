@@ -96,7 +96,8 @@ class Trainer:
 
     def __init__(self, model: Any, task: Callable,
                  opt_cfg: OptimizerConfig = OptimizerConfig(),
-                 mesh: Optional[Mesh] = None, donate: bool = True):
+                 mesh: Optional[Mesh] = None, donate: bool = True,
+                 remat: bool = False):
         self.model = model
         self.task = task
         self.opt_cfg = opt_cfg
@@ -105,6 +106,9 @@ class Trainer:
         self._ema = (make_ema(opt_cfg.moving_average_decay)
                      if opt_cfg.moving_average_decay else None)
         self._donate = donate
+        # rematerialize the forward in the backward pass — trades FLOPs for
+        # HBM, the lever for big global batches at high resolution
+        self._remat = remat
         self._train_step = None
         self._eval_step = None
 
@@ -173,12 +177,18 @@ class Trainer:
         tx = self.tx
         assert tx is not None, "create_state first"
 
+        apply = self._apply
+        if self._remat:
+            apply = jax.checkpoint(
+                self._apply, static_argnums=(3,),
+                policy=jax.checkpoint_policies.nothing_saveable)
+
         def step(state: TrainState, images: jnp.ndarray,
                  labels: jnp.ndarray):
             step_rng, next_rng = jax.random.split(state.rng)
 
             def loss_fn(params):
-                outputs, new_stats = self._apply(
+                outputs, new_stats = apply(
                     params, state.batch_stats, images, True, step_rng)
                 loss, metrics = self.task(outputs, labels)
                 return loss, (new_stats, metrics)
