@@ -32,6 +32,10 @@ def main(argv: list[str] | None = None) -> int:
     p = common.base_parser(__doc__)
     p.add_argument("--image-set", default="trainval")
     p.add_argument("--flipped", action="store_true")
+    p.add_argument("--v2", action="store_true",
+                   help="anchor-based YOLOv2 head + loss (per-slot "
+                        "classes, 5 classic VOC anchors) instead of the "
+                        "reference's YOLOv1 grid head")
     args = p.parse_args(argv)
 
     from tensorflow_yolo2_tpu.utils.jaxsetup import enable_compilation_cache
@@ -43,19 +47,38 @@ def main(argv: list[str] | None = None) -> int:
     save_every = args.save_every or 40_000  # reference :111
     dtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
 
-    yolo = YoloConfig()
+    if args.v2:
+        # classic YOLOv2 VOC anchors (13-grid units), rescaled to S=7
+        scale = 7.0 / 13.0
+        anchors = tuple(
+            (round(w * scale, 4), round(h * scale, 4))
+            for w, h in ((1.3221, 1.73145), (3.19275, 4.00944),
+                         (5.05587, 8.09892), (8.98282, 9.77052),
+                         (11.2364, 10.0071)))
+        yolo = YoloConfig(B=5, per_slot_classes=True, anchors=anchors)
+        from tensorflow_yolo2_tpu.losses.yolo_v2 import yolo_v2_task
+        task = yolo_v2_task(yolo)
+        # the anchor head wants a linear output (no BN+leaky quirk)
+        model = Darknet19Detector(output_channels=yolo.cell_channels,
+                                  bn_on_output=False, dtype=dtype)
+        net_name = "darknet19_v2"
+    else:
+        yolo = YoloConfig()
+        task = yolo_task(yolo)
+        model = Darknet19Detector(output_channels=yolo.cell_channels,
+                                  dtype=dtype)
+        net_name = "darknet19"
     imdb = PascalVOC(args.image_set, batch_size=batch_size, yolo=yolo,
                      flipped=args.flipped, data_path=args.data_path)
     paths = Paths()
-    model = Darknet19Detector(output_channels=yolo.cell_channels, dtype=dtype)
     trainer = Trainer(
-        model, yolo_task(yolo),
+        model, task,
         OptimizerConfig(name="adam",
                         schedule=LRScheduleConfig(learning_rate=lr)),
         mesh=make_mesh_for_batch(batch_size))
-    mgr = CheckpointManager("darknet19", imdb.name, save_by_epoch=False,
+    mgr = CheckpointManager(net_name, imdb.name, save_by_epoch=False,
                             paths=paths)
-    writer = MetricsWriter(paths.tb_dirs("darknet19", imdb.name, val=False)[0])
+    writer = MetricsWriter(paths.tb_dirs(net_name, imdb.name, val=False)[0])
 
     # warm-start from the newest ImageNet classifier snapshot if present
     # (the reference's variable-intersection path, net_utils.py:81-101)

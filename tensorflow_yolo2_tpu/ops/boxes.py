@@ -94,8 +94,12 @@ def grid_to_absolute_v2(raw_boxes: jnp.ndarray, cfg: YoloConfig) -> jnp.ndarray:
     offset = jnp.asarray(cfg.offset)
     xs = (jax.nn.sigmoid(raw_boxes[..., 0]) + offset) / float(S)
     ys = (jax.nn.sigmoid(raw_boxes[..., 1]) + jnp.transpose(offset, (1, 0, 2))) / float(S)
-    ws = anchors[..., 0] * jnp.exp(raw_boxes[..., 2]) / float(S)
-    hs = anchors[..., 1] * jnp.exp(raw_boxes[..., 3]) / float(S)
+    # clamp the wh logits: exp of an unlucky activation must stay finite
+    # (overflow poisons the IoU in the v2 loss with inf−inf → nan)
+    tw = jnp.clip(raw_boxes[..., 2], -8.0, 8.0)
+    th = jnp.clip(raw_boxes[..., 3], -8.0, 8.0)
+    ws = anchors[..., 0] * jnp.exp(tw) / float(S)
+    hs = anchors[..., 1] * jnp.exp(th) / float(S)
     return jnp.stack([xs, ys, ws, hs], axis=-1)
 
 

@@ -63,6 +63,22 @@ def test_pascal_train_then_detect_end_to_end(tmp_root):
 
 
 @pytest.mark.slow
+def test_pascal_train_v2_anchor_head(tmp_root):
+    """--v2: anchor-based YOLOv2 head + loss end-to-end."""
+    from tensorflow_yolo2_tpu.entries import pascal_train_darknet
+
+    voc = synthetic.make_voc(str(tmp_root / "data" / "VOCdevkit"),
+                             n_images=3)
+    rc = pascal_train_darknet.main([
+        "--v2", "--iters", "2", "--batch-size", "2", "--num-workers", "1",
+        "--save-every", "2", "--data-path", voc,
+        "--compute-dtype", "float32"])
+    assert rc == 0
+    assert (tmp_root / "ckpts" / "darknet19_v2" / "voc_2007" /
+            "train_iter_2").exists()
+
+
+@pytest.mark.slow
 def test_train_classifier_entry_synthetic(tmp_root):
     from tensorflow_yolo2_tpu.entries import train_classifier
 
