@@ -1,0 +1,66 @@
+"""Training-step throughput: Darknet19 YOLO train step (fwd+bwd+Adam) at
+224², the pascal_train_darknet hot loop. Usage:
+
+    python benchmarks/train_step.py [batch] [--remat]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
+
+import jax
+import numpy as np
+
+from tensorflow_yolo2_tpu.config import (
+    LRScheduleConfig,
+    OptimizerConfig,
+    YoloConfig,
+)
+from tensorflow_yolo2_tpu.models.darknet import Darknet19Detector
+from tensorflow_yolo2_tpu.train.trainer import Trainer, yolo_task
+from tensorflow_yolo2_tpu.utils.jaxsetup import enable_compilation_cache
+
+import jax.numpy as jnp
+
+
+def main() -> None:
+    enable_compilation_cache()
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 48
+    remat = "--remat" in sys.argv
+    steps = 12
+    yolo = YoloConfig()
+    model = Darknet19Detector(output_channels=yolo.cell_channels,
+                              dtype=jnp.bfloat16)
+    trainer = Trainer(
+        model, yolo_task(yolo),
+        OptimizerConfig(name="adam",
+                        schedule=LRScheduleConfig(learning_rate=1e-3)),
+        remat=remat)
+
+    rng = np.random.RandomState(0)
+    images = rng.uniform(-1, 1, (batch, 224, 224, 3)).astype(np.float32)
+    labels = np.zeros((batch, yolo.S, yolo.S, 25), np.float32)
+    labels[:, 3, 3, 0] = 1
+    labels[:, 3, 3, 1:5] = (112, 112, 60, 40)
+    labels[:, 3, 3, 5 + 11] = 1
+
+    state = trainer.create_state(jax.random.PRNGKey(0), images[:1])
+    di, dl = trainer.put_batch(images, labels)
+
+    state, m = trainer.train_step(state, di, dl)  # compile
+    float(np.asarray(m["loss"]))                  # force
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, m = trainer.train_step(state, di, dl)
+    float(np.asarray(m["loss"]))                  # force the chain
+    dt = (time.perf_counter() - t0) / steps
+    print(f"train step 224² batch {batch} remat={remat}: "
+          f"{dt * 1e3:.2f} ms/step, {batch / dt:.0f} img/s")
+
+
+if __name__ == "__main__":
+    main()

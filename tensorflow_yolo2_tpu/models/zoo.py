@@ -196,5 +196,7 @@ for _name, _units in _RESNET_UNITS.items():
                   224)
 
 from tensorflow_yolo2_tpu.models.inception import INCEPTION_ZOO  # noqa: E402
+from tensorflow_yolo2_tpu.models.resnet_v2 import RESNET_V2_ZOO  # noqa: E402
 
 ZOO.update(INCEPTION_ZOO)
+ZOO.update(RESNET_V2_ZOO)

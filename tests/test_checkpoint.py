@@ -69,6 +69,38 @@ def test_merge_skips_shape_mismatch():
     assert n == 1
 
 
+def test_full_train_state_roundtrip_with_masked_optimizer(tmp_root):
+    """A real TrainState (multi_transform frozen scopes + EMA + Adam
+    slots) must survive the Orbax save/restore used by run_train_loop."""
+    import jax as _jax
+
+    from tensorflow_yolo2_tpu.config import OptimizerConfig
+    from tensorflow_yolo2_tpu.models.zoo import LeNet
+    from tensorflow_yolo2_tpu.parallel.mesh import make_mesh_for_batch
+    from tensorflow_yolo2_tpu.train.trainer import Trainer, softmax_task
+
+    tr = Trainer(LeNet(num_classes=3), softmax_task(),
+                 OptimizerConfig(name="adam", trainable_scopes=("fc4",),
+                                 moving_average_decay=0.99),
+                 mesh=make_mesh_for_batch(8))
+    x = np.zeros((8, 28, 28, 3), np.float32)
+    y = np.zeros(8, np.int32)
+    state = tr.create_state(_jax.random.PRNGKey(0), x[:1])
+    di, dl = tr.put_batch(x, y)
+    state, _ = tr.train_step(state, di, dl)
+    mgr = CheckpointManager("lenet", "roundtrip")
+    mgr.save(1, _jax.device_get(state))
+    fresh = tr.create_state(_jax.random.PRNGKey(1), x[:1])
+    restored, step = mgr.restore(fresh)
+    assert step == 1
+    np.testing.assert_allclose(np.asarray(restored.params["fc4"]["kernel"]),
+                               np.asarray(state.params["fc4"]["kernel"]))
+    # training continues from the restored state
+    restored = tr.shard_state(restored)
+    _, m = tr.train_step(restored, di, dl)
+    assert np.isfinite(float(np.asarray(m["loss"])))
+
+
 def test_warm_start_from_other_run(tmp_root):
     """The imagenet→pascal warm-start path (net_utils.py:64-110): new run
     restores the intersection from another run's snapshot."""
