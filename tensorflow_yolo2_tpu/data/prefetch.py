@@ -116,6 +116,11 @@ def device_prefetch(iterator: Iterator[Any], size: int = 2,
 
     def put(batch: Any) -> Any:
         if sharding is not None:
+            if jax.process_count() > 1:
+                # per-host feed: this host contributes its local shard
+                return jax.tree_util.tree_map(
+                    lambda x: jax.make_array_from_process_local_data(
+                        sharding, x), batch)
             return jax.device_put(batch, sharding)
         return jax.device_put(batch)
 

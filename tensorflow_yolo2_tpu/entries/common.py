@@ -83,7 +83,8 @@ def run_train_loop(trainer: Trainer, state: TrainState,
                    num_workers: int = 4,
                    eval_fn: Optional[Callable[[TrainState, int], None]] = None,
                    eval_every: int = 0,
-                   trace_dir: Optional[str] = None) -> TrainState:
+                   trace_dir: Optional[str] = None,
+                   save_step_divisor: int = 1) -> TrainState:
     """The hot loop: prefetched host batches → double-buffered device_put →
     donated jitted step. Metrics are fetched with a 1-step lag so logging
     never forces an early device sync."""
@@ -116,8 +117,12 @@ def run_train_loop(trainer: Trainer, state: TrainState,
             if eval_fn is not None and eval_every and i % eval_every == 0:
                 eval_fn(state, i)
             if save_every and i % save_every == 0:
-                mgr.save(i, jax.device_get(state))
-                print(f"Saved snapshot at iter {i}")
+                # epoch-interval managers store the epoch number in the
+                # snapshot name (reference train_epoch_N convention), so
+                # the saved step is iters // iters-per-epoch
+                mgr.save(i // save_step_divisor, jax.device_get(state))
+                print(f"Saved snapshot at iter {i} "
+                      f"({mgr.interval} {i // save_step_divisor})")
         flush(0)
     return state
 

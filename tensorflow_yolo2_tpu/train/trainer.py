@@ -233,8 +233,17 @@ class Trainer:
     # -- data placement ------------------------------------------------------
 
     def put_batch(self, images: Any, labels: Any) -> tuple[Any, Any]:
-        """Shard a host batch over the data axis."""
+        """Shard a host batch over the data axis.
+
+        Multi-host: each process passes only its local shard of the
+        global batch and the pieces are assembled into one global array
+        (the per-host sharded-batch feed of SURVEY §2.3 — no host ever
+        materializes the full global batch).
+        """
         sh = batch_sharding(self.mesh)
+        if jax.process_count() > 1:
+            return (jax.make_array_from_process_local_data(sh, images),
+                    jax.make_array_from_process_local_data(sh, labels))
         return jax.device_put(images, sh), jax.device_put(labels, sh)
 
     @functools.cached_property
