@@ -84,7 +84,9 @@ def measure_tpu() -> dict:
     del outs
     ips = _BATCH / dt
 
-    # p50 single-image latency (host-fetch round trip included)
+    # p50 single-image latency, two views: the full host round trip
+    # (includes the axon tunnel RTT) and the device-side step amortized
+    # over a dispatch chain (what an on-device serving loop would see).
     one = images[:1]
     run(one)
     lats = []
@@ -93,7 +95,13 @@ def measure_tpu() -> dict:
         run(one)
         lats.append(time.perf_counter() - t0)
     p50_ms = float(np.percentile(lats, 50) * 1000)
+    chain = 50
+    t0 = time.perf_counter()
+    outs = [forward(folded, one) for _ in range(chain)]
+    np.asarray(outs[-1].scores)
+    device_ms = (time.perf_counter() - t0) / chain * 1000
     return {"images_per_sec": ips, "p50_ms": p50_ms,
+            "device_latency_ms": device_ms,
             "batch": _BATCH, "backend": jax.default_backend()}
 
 
@@ -167,6 +175,7 @@ def main() -> int:
         "unit": "images/sec/chip",
         "vs_baseline": round(vs, 2) if vs else None,
         "p50_single_image_ms": round(result["p50_ms"], 3),
+        "device_single_image_ms": round(result["device_latency_ms"], 3),
         "batch": result["batch"],
         "backend": result["backend"],
     }))

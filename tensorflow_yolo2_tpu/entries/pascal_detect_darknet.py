@@ -60,23 +60,35 @@ def load_detector_params(yolo: YoloConfig, tf_checkpoint: str | None = None,
 def make_detect_fn(yolo: YoloConfig, params, batch_stats,
                    object_thresh: float = 0.5, use_nms: bool = False,
                    nms_iou: float = 0.5, fold_bn: bool = True,
-                   dtype=jnp.bfloat16):
-    """Build the jitted image→detections function (batched)."""
+                   dtype=jnp.bfloat16, v2: bool = False):
+    """Build the jitted image→detections function (batched).
+
+    ``v2`` selects the anchor head layout + decode (sigmoid-xy/exp-wh,
+    per-slot class softmax) matching pascal_train_darknet --v2.
+    """
+    bn_on_output = not v2
     if fold_bn and batch_stats:
         variables = {"params": fold_params(params, batch_stats)}
         model = Darknet19Detector(output_channels=yolo.cell_channels,
+                                  bn_on_output=bn_on_output,
                                   fold_bn=True, dtype=dtype)
     else:
         variables = {"params": params}
         if batch_stats:
             variables["batch_stats"] = batch_stats
         model = Darknet19Detector(output_channels=yolo.cell_channels,
-                                  dtype=dtype)
+                                  bn_on_output=bn_on_output, dtype=dtype)
 
     @jax.jit
     def detect(images: jnp.ndarray) -> Detections:
         grid = model.apply(variables, images, train=False)
-        dets = decode_grid_pallas(grid, yolo, object_thresh)
+        if v2:
+            from tensorflow_yolo2_tpu.ops.boxes import decode_grid_v2
+
+            dets = jax.vmap(
+                lambda g: decode_grid_v2(g, yolo, object_thresh))(grid)
+        else:
+            dets = decode_grid_pallas(grid, yolo, object_thresh)
         if use_nms:
             dets = jax.vmap(
                 lambda d: nms_fixed(d, nms_iou, max_outputs=32))(dets)
@@ -94,6 +106,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--tf-checkpoint", default=None)
     p.add_argument("--out", default=None)
     p.add_argument("--no-fold-bn", action="store_true")
+    p.add_argument("--v2", action="store_true",
+                   help="anchor-head checkpoint (pascal_train_darknet --v2)")
     p.add_argument("--image-size", type=int, default=224,
                    help="multiscale input (multiple of 32); the net is "
                         "fully convolutional, the grid scales to S=size/32 "
@@ -105,10 +119,25 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.image_size % 32:
         p.error("--image-size must be a multiple of 32")
-    yolo = YoloConfig(S=args.image_size // 32, image_size=args.image_size)
-    params, stats = load_detector_params(yolo, args.tf_checkpoint)
+    if args.v2:
+        scale = 7.0 / 13.0
+        anchors = tuple(
+            (round(w * scale, 4), round(h * scale, 4))
+            for w, h in ((1.3221, 1.73145), (3.19275, 4.00944),
+                         (5.05587, 8.09892), (8.98282, 9.77052),
+                         (11.2364, 10.0071)))
+        yolo = YoloConfig(S=args.image_size // 32,
+                          image_size=args.image_size, B=5,
+                          per_slot_classes=True, anchors=anchors)
+        params, stats = load_detector_params(
+            yolo, args.tf_checkpoint, network_name="darknet19_v2")
+    else:
+        yolo = YoloConfig(S=args.image_size // 32,
+                          image_size=args.image_size)
+        params, stats = load_detector_params(yolo, args.tf_checkpoint)
     detect = make_detect_fn(yolo, params, stats, args.threshold,
-                            use_nms=args.nms, fold_bn=not args.no_fold_bn)
+                            use_nms=args.nms, fold_bn=not args.no_fold_bn,
+                            v2=args.v2)
 
     image = image_read(args.image, yolo.image_size)  # BGR, [-1, 1]
     dets = detect(image[None])

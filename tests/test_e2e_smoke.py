@@ -77,6 +77,15 @@ def test_pascal_train_v2_anchor_head(tmp_root):
     assert (tmp_root / "ckpts" / "darknet19_v2" / "voc_2007" /
             "train_iter_2").exists()
 
+    from tensorflow_yolo2_tpu.entries import pascal_detect_darknet
+
+    image = os.path.join(voc, "JPEGImages", "000000.jpg")
+    out_path = str(tmp_root / "out_v2.png")
+    rc = pascal_detect_darknet.main(
+        [image, "--v2", "--threshold", "0.05", "--nms", "--out", out_path])
+    assert rc == 0
+    assert os.path.exists(out_path)
+
 
 @pytest.mark.slow
 def test_train_classifier_entry_synthetic(tmp_root):
