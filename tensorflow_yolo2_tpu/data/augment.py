@@ -60,9 +60,11 @@ def image_read(path: str, image_size: int, rgb: bool = False,
 
 
 def augment_image(image: np.ndarray, cfg: AugmentConfig,
-                  rng: random.Random) -> np.ndarray:
-    """Apply the reference augmentation distribution to a BGR/RGB uint8
-    image; returns a float32 (image_size, image_size, 3) in [-1, 1]."""
+                  rng: random.Random, rgb: bool = False) -> np.ndarray:
+    """Apply the reference augmentation distribution to a uint8 image
+    (BGR by default; set ``rgb=True`` for RGB inputs so the HSV color
+    perturbation uses the right channel order); returns a float32
+    (image_size, image_size, 3) in [-1, 1]."""
     size = cfg.image_size
 
     do_flip = cfg.flip and bool(rng.getrandbits(1))
@@ -82,7 +84,9 @@ def augment_image(image: np.ndarray, cfg: AugmentConfig,
 
     if do_color:
         # uint8 HSV arithmetic with cv2's wraparound semantics, ±[0, 10]
-        hsv = cv2.cvtColor(image, cv2.COLOR_BGR2HSV)
+        to_hsv = cv2.COLOR_RGB2HSV if rgb else cv2.COLOR_BGR2HSV
+        from_hsv = cv2.COLOR_HSV2RGB if rgb else cv2.COLOR_HSV2BGR
+        hsv = cv2.cvtColor(image, to_hsv)
         hue = rng.randint(0, 10)
         sat = rng.randint(0, 10)
         if bool(rng.getrandbits(1)):
@@ -93,7 +97,7 @@ def augment_image(image: np.ndarray, cfg: AugmentConfig,
             hsv[:, :, 1] += np.uint8(sat)
         else:
             hsv[:, :, 1] -= np.uint8(sat)
-        image = cv2.cvtColor(hsv, cv2.COLOR_HSV2BGR)
+        image = cv2.cvtColor(hsv, from_hsv)
 
     if do_exposure:
         gamma = rng.uniform(1, 2) if bool(rng.getrandbits(1)) else rng.uniform(0.5, 1)
@@ -137,4 +141,4 @@ def read_and_augment(path: str, cfg: AugmentConfig, rng: random.Random,
         raise FileNotFoundError(path)
     if rgb:
         image = cv2.cvtColor(image, cv2.COLOR_BGR2RGB)
-    return augment_image(image, cfg, rng)
+    return augment_image(image, cfg, rng, rgb=rgb)

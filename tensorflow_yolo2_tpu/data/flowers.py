@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import os
 import random
+import threading
 
 import numpy as np
 
@@ -40,6 +41,7 @@ class TFFlowers:
         self.epoch = 1
         self.train_cursor = 0
         self.val_cursor = 0
+        self._lock = threading.Lock()
 
         if not os.path.isdir(self.data_path):
             raise FileNotFoundError(
@@ -67,36 +69,38 @@ class TFFlowers:
     def total_batch(self) -> int:
         return max(1, len(self.train_list) // self.batch_size)
 
-    def _fetch(self, entries: list, cursor: int, augment: bool):
+    def _fetch(self, entries: list, cursor_attr: str, augment: bool):
+        # selection (cursor advance + shuffles) under the lock, decode
+        # outside — thread-safe for the prefetch worker pool
+        with self._lock:
+            cursor = getattr(self, cursor_attr)
+            picked = []
+            for _ in range(self.batch_size):
+                picked.append(entries[cursor])
+                cursor += 1
+                if cursor >= len(entries):
+                    self.rng.shuffle(entries)
+                    cursor = 0
+                    if cursor_attr == "train_cursor":
+                        self.epoch += 1
+            setattr(self, cursor_attr, cursor)
         images = np.zeros(
             (self.batch_size, self.image_size, self.image_size, 3), np.float32)
         labels = np.zeros(self.batch_size, np.int32)
-        rolled = False
-        for count in range(self.batch_size):
-            path, cls = entries[cursor]
+        for count, (path, cls) in enumerate(picked):
             if augment and self.data_aug:
                 images[count] = read_and_augment(path, self.aug_cfg, self.rng)
             else:
                 images[count] = image_read(path, self.image_size)
             labels[count] = cls
-            cursor += 1
-            if cursor >= len(entries):
-                self.rng.shuffle(entries)
-                cursor = 0
-                rolled = True
-        return images, labels, cursor, rolled
+        return images, labels
 
     def get_train(self):
-        images, labels, self.train_cursor, rolled = self._fetch(
-            self.train_list, self.train_cursor, augment=True)
-        if rolled:
-            self.epoch += 1
-        return images, labels
+        return self._fetch(self.train_list, "train_cursor", augment=True)
 
     def get_val(self):
-        images, labels, self.val_cursor, _ = self._fetch(
-            self.val_list or self.train_list, self.val_cursor, augment=False)
-        return images, labels
+        return self._fetch(self.val_list or self.train_list, "val_cursor",
+                           augment=False)
 
     # uniform imdb interface
     def get(self):

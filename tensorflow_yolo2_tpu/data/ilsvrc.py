@@ -19,6 +19,7 @@ from __future__ import annotations
 import os
 import pickle
 import random
+import threading
 import xml.etree.ElementTree as ET
 
 import cv2
@@ -68,6 +69,7 @@ class IlsvrcCls:
         self.rng = random.Random(seed)
         self.cursor = 0
         self.epoch = 1
+        self._lock = threading.Lock()
 
         if not os.path.isdir(self.data_path):
             raise FileNotFoundError(
@@ -137,22 +139,31 @@ class IlsvrcCls:
         if self.rgb:
             image = cv2.cvtColor(image, cv2.COLOR_BGR2RGB)
         if self.data_aug:
-            return augment_image(image, self.aug_cfg, self.rng)
+            return augment_image(image, self.aug_cfg, self.rng,
+                                 rgb=self.rgb)
         if self.resize_policy == "pad":
             return normalize(_pad_center_resize(image, self.image_size))
         return normalize(cv2.resize(image, (self.image_size, self.image_size)))
 
+    def _next_entries(self, n: int) -> list[tuple[str, int]]:
+        with self._lock:
+            out = []
+            for _ in range(n):
+                out.append(self.gt_labels[self.cursor])
+                self.cursor += 1
+                if self.cursor >= len(self.gt_labels):
+                    self.rng.shuffle(self.gt_labels)
+                    self.cursor = 0
+                    self.epoch += 1
+            return out
+
     def get(self) -> tuple[np.ndarray, np.ndarray]:
+        """Thread-safe: selection locked, decode/augment outside."""
+        entries = self._next_entries(self.batch_size)
         images = np.zeros(
             (self.batch_size, self.image_size, self.image_size, 3), np.float32)
         labels = np.zeros(self.batch_size, np.int32)
-        for count in range(self.batch_size):
-            path, cls = self.gt_labels[self.cursor]
+        for count, (path, cls) in enumerate(entries):
             images[count] = self.image_read(path)
             labels[count] = cls
-            self.cursor += 1
-            if self.cursor >= len(self.gt_labels):
-                self.rng.shuffle(self.gt_labels)
-                self.cursor = 0
-                self.epoch += 1
         return images, labels

@@ -29,6 +29,14 @@ from typing import Any, Callable, Iterator, Optional
 import jax
 
 
+class _NullLock:
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        return False
+
+
 class PrefetchLoader:
     """Concurrent batch producer over a ``get()``-style imdb.
 
@@ -40,14 +48,18 @@ class PrefetchLoader:
     """
 
     def __init__(self, get_batch: Callable[[], Any], num_workers: int = 4,
-                 prefetch_size: int = 8):
+                 prefetch_size: int = 8, thread_safe: bool = False):
+        """``thread_safe=True`` declares that concurrent ``get_batch()``
+        calls are safe (the imdbs in ``data`` do their cursor bookkeeping
+        under an internal lock and decode outside it) — workers then run
+        the heavy decode/augment work truly in parallel. The default
+        serializes calls for arbitrary callables."""
         self._get_batch = get_batch
         self._queue: queue.Queue = queue.Queue(maxsize=prefetch_size)
         self._stop = threading.Event()
         self._error: Optional[BaseException] = None
-        # imdb.get() mutates cursor state → serialize calls; the heavy
-        # decode work still overlaps because workers run ahead of the step.
-        self._get_lock = threading.Lock()
+        self._get_lock = (threading.Lock() if not thread_safe
+                          else _NullLock())
         self._threads = [
             threading.Thread(target=self._worker, daemon=True,
                              name=f"prefetch-{i}")

@@ -22,6 +22,7 @@ from __future__ import annotations
 import copy
 import os
 import pickle
+import threading
 import xml.etree.ElementTree as ET
 
 import cv2
@@ -55,6 +56,9 @@ class PascalVOC:
         self.cursor = 0
         self.epoch = 1
         self.gt_labels: list[dict] = []
+        # cursor/shuffle bookkeeping is locked; image decode happens
+        # outside the lock so prefetch workers parallelize (data.prefetch)
+        self._lock = threading.Lock()
         if not os.path.exists(self.data_path):
             raise FileNotFoundError(
                 f"VOCdevkit path does not exist: {self.data_path}")
@@ -66,24 +70,32 @@ class PascalVOC:
     def total_batch(self) -> int:
         return max(1, len(self.gt_labels) // self.batch_size)
 
+    def _next_entries(self, n: int) -> list[dict]:
+        with self._lock:
+            out = []
+            for _ in range(n):
+                out.append(self.gt_labels[self.cursor])
+                self.cursor += 1
+                if self.cursor >= len(self.gt_labels):
+                    np.random.shuffle(self.gt_labels)
+                    self.cursor = 0
+                    self.epoch += 1
+            return out
+
     def get(self) -> tuple[np.ndarray, np.ndarray]:
         """Next (images, labels) batch; reshuffles at epoch end
-        (reference pascal_voc.py:42-58)."""
+        (reference pascal_voc.py:42-58). Thread-safe: selection is
+        locked, decode is not."""
+        entries = self._next_entries(self.batch_size)
         images = np.zeros(
             (self.batch_size, self.image_size, self.image_size, 3), np.float32)
         labels = np.zeros(
             (self.batch_size, self.cell_size, self.cell_size,
              5 + self.num_class), np.float32)
-        for count in range(self.batch_size):
-            entry = self.gt_labels[self.cursor]
+        for count, entry in enumerate(entries):
             images[count] = image_read(entry["imname"], self.image_size,
                                        flipped=entry["flipped"])
             labels[count] = entry["label"]
-            self.cursor += 1
-            if self.cursor >= len(self.gt_labels):
-                np.random.shuffle(self.gt_labels)
-                self.cursor = 0
-                self.epoch += 1
         return images, labels
 
     # -- label preparation ---------------------------------------------------

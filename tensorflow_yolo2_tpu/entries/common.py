@@ -103,7 +103,10 @@ def run_train_loop(trainer: Trainer, state: TrainState,
 
     from tensorflow_yolo2_tpu.utils.profiling import maybe_trace
 
-    with PrefetchLoader(get_batch, num_workers=num_workers) as loader, \
+    # the data.* imdbs lock only their cursor bookkeeping → workers
+    # decode in parallel
+    with PrefetchLoader(get_batch, num_workers=num_workers,
+                        thread_safe=True) as loader, \
             maybe_trace(trace_dir):
         stream = device_prefetch(iter(loader), size=2,
                                  sharding=trainer.batch_sharding)

@@ -52,9 +52,11 @@ def get_dataset(name: str, split: str = "train", **kwargs: Any):
     if name == "flowers":
         from tensorflow_yolo2_tpu.data.flowers import TFFlowers
 
-        kwargs.pop("seed", None)
         return TFFlowers(batch_size=kwargs.get("batch_size", 16),
-                         data_path=kwargs.get("data_path"))
+                         image_size=kwargs.get("image_size", 224),
+                         val_split=kwargs.get("val_split", 0.2),
+                         data_path=kwargs.get("data_path"),
+                         seed=kwargs.get("seed", 0))
     if name in ("imagenet", "ilsvrc", "ilsvrc_2017_cls"):
         from tensorflow_yolo2_tpu.data.ilsvrc import IlsvrcCls
 

@@ -24,7 +24,10 @@ from tensorflow_yolo2_tpu.entries import common
 from tensorflow_yolo2_tpu.models.contrast import ContrastInputModel
 from tensorflow_yolo2_tpu.models.registry import get_network
 from tensorflow_yolo2_tpu.parallel.mesh import make_mesh_for_batch
-from tensorflow_yolo2_tpu.train.adversarial import adversarial_train_step_pair
+from tensorflow_yolo2_tpu.train.adversarial import (
+    adversarial_train_step_pair,
+    make_jitted_attack,
+)
 from tensorflow_yolo2_tpu.train.checkpoint import CheckpointManager
 from tensorflow_yolo2_tpu.train.metrics import MetricsWriter
 from tensorflow_yolo2_tpu.train.trainer import Trainer, softmax_task
@@ -66,10 +69,12 @@ def main(argv: list[str] | None = None) -> int:
     state, start = common.bootstrap_state(
         trainer, mgr, jax.random.PRNGKey(args.seed), sample[:1])
 
+    attack_fn = make_jitted_attack(model, args.epsilon)
     for i in range(start + 1, start + iters + 1):
         images, labels = trainer.put_batch(*imdb.get())
         state, clean_m, adv_m = adversarial_train_step_pair(
-            trainer, state, images, labels, epsilon=args.epsilon)
+            trainer, state, images, labels, epsilon=args.epsilon,
+            attack_fn=attack_fn)
         if i % args.log_every == 0:
             vals = {f"clean/{k}": float(np.asarray(v))
                     for k, v in clean_m.items()}

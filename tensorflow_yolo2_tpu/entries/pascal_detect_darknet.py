@@ -120,7 +120,9 @@ def main(argv: list[str] | None = None) -> int:
     if args.image_size % 32:
         p.error("--image-size must be a multiple of 32")
     if args.v2:
-        scale = 7.0 / 13.0
+        # anchors are stored in grid-cell units: rescale the classic
+        # 13-grid priors to THIS run's grid (S = image_size/32)
+        scale = (args.image_size // 32) / 13.0
         anchors = tuple(
             (round(w * scale, 4), round(h * scale, 4))
             for w, h in ((1.3221, 1.73145), (3.19275, 4.00944),

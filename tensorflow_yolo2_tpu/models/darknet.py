@@ -31,11 +31,13 @@ import jax.numpy as jnp
 from tensorflow_yolo2_tpu.models.layers import ConvBN, avg_pool, max_pool
 
 # (kernel_size, features) per conv, with "M" = 2×2/2 maxpool between stages.
-# Mirrors the layer schedule at reference darknet.py:150-177.
+# Mirrors the layer schedule at reference darknet.py:150-177 — including its
+# deviation from the YOLO9000 paper: conv4 is a 3×3 (darknet.py:92), not the
+# paper's 1×1, which checkpoint-import parity requires us to reproduce.
 _DARKNET19_SCHEDULE: Sequence = (
     (3, 32), "M",
     (3, 64), "M",
-    (3, 128), (1, 64), (3, 128), "M",
+    (3, 128), (3, 64), (3, 128), "M",
     (3, 256), (1, 128), (3, 256), "M",
     (3, 512), (1, 256), (3, 512), (1, 256), (3, 512), "M",
     (3, 1024), (1, 512), (3, 1024), (1, 512), (3, 1024),

@@ -69,6 +69,9 @@ def _register_builtins() -> None:
 
         @register("resnet_v1_50", 224)
         def _resnet50(num_classes: int | None = None, **kw: Any) -> nn.Module:
+            # classifier use needs the global pool (→ (b, C) logits); the
+            # detector entry builds ResNet50V1 directly with pooling off
+            kw.setdefault("global_pool", num_classes is not None)
             return resnet.ResNet50V1(num_classes=num_classes, **kw)
 
         @register("resnet_v1_50_detection", 224)

@@ -6,12 +6,10 @@ src/slim_dir/nets/resnet_v1.py:73-216 + resnet_utils:
 - bottleneck-v1 units (1×1 → 3×3 → 1×1, BN after every conv, post-add
   ReLU; projection shortcut when depth changes, stride-subsample
   otherwise — resnet_v1.py:73-116);
-- the reference's **variant block layout with stride 2 at block ends**
-  (tf_resnet.py:20-28): block1 = 2×(256,64,/1)+(256,64,/2), block2 =
-  3×(512,128,/1)+(512,128,/2), block3 = 5×(1024,256,/1)+(1024,256,/2),
-  block4 = 3×(2048,512,/1); the stock slim layout (stride at block
-  starts... actually at block ends too, but with different unit counts)
-  differs only in where /2 lands — ``stride_at_end`` toggles it;
+- block layout with stride 2 at block ends (tf_resnet.py:20-28, which
+  matches stock slim resnet_v1_50): block1 = 2×(256,64,/1)+(256,64,/2),
+  block2 = 3×(512,128,/1)+(512,128,/2), block3 =
+  5×(1024,256,/1)+(1024,256,/2), block4 = 3×(2048,512,/1);
 - root block: 7×7/2 conv (explicit-pad SAME, conv2d_same semantics,
   resnet_utils.py:77-123) + 3×3/2 max pool;
 - ``global_pool=False`` default so 224² inputs give the 7×7×2048 map the
@@ -120,18 +118,14 @@ _R50_BLOCKS: Sequence[tuple[int, int, int]] = (
 class ResNet50V1(nn.Module):
     """slim-compatible ResNet50-v1.
 
-    ``stride_at_end=True`` is the reference's variant (stride-2 on the
-    *last* unit of blocks 1-3, tf_resnet.py:20-28); ``False`` gives the
-    stock slim resnet_v1_50 (stride-2 on the last unit of each block is
-    actually the slim convention too; stock differs by striding the first
-    three blocks' final units — identical here — so both layouts agree
-    for ResNet50 and the flag is kept for documentation/extension).
+    Stride-2 sits on the *last* unit of blocks 1-3 — the layout of both
+    the reference's variant (tf_resnet.py:20-28) and stock slim
+    resnet_v1_50, which agree for this depth.
     ``num_classes=None`` returns features (reference resnet_v1.py:119+).
     """
 
     num_classes: Optional[int] = None
     global_pool: bool = False  # reference default for detection use
-    stride_at_end: bool = True
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
     bn_axis_name: Optional[str] = None

@@ -8,7 +8,7 @@ ilsvrc_cls_multithread_scipy.py:364-369):
 - :func:`fgsm` — the Fast Gradient Sign Method is one line in JAX:
   ``x + ε·sign(∇ₓ loss)`` via ``jax.grad`` w.r.t. the *input*. The
   reference needs a second TF graph + session and a whole library for
-  this; here it fuses into the same XLA program as the train step.
+  this; here it is one compiled XLA program alongside the train step.
 - :func:`random_sign_noise` — the ±ε uniform-sign noise augmentation.
 - :func:`adversarial_train_step_pair` — the reference's per-iteration
   clean-step + adversarial-step recipe (:210-234) as a function the
@@ -59,16 +59,39 @@ def make_attack_loss(model: Any, variables: Any,
     return loss_of_images
 
 
+def make_jitted_attack(model: Any, epsilon: float) -> Callable:
+    """One compiled FGSM program: (params, batch_stats, images, labels) →
+    adversarial images. Build once, reuse every iteration — the whole
+    forward+input-gradient fuses into a single XLA executable instead of
+    re-tracing per step."""
+    import optax
+
+    def attack(params, batch_stats, images, labels):
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+
+        def loss_of_images(imgs):
+            logits = model.apply(variables, imgs, train=False)
+            return jnp.mean(
+                optax.softmax_cross_entropy_with_integer_labels(
+                    logits, labels))
+
+        return fgsm(loss_of_images, images, epsilon)
+
+    return jax.jit(attack)
+
+
 def adversarial_train_step_pair(trainer, state, images, labels,
-                                epsilon: float = 8 / 255 * 2):
+                                epsilon: float = 8 / 255 * 2,
+                                attack_fn: Callable | None = None):
     """One clean step + one FGSM step (the reference's per-iter pair,
     imagenet_train_inception_resnet.py:210-234). Returns
-    (state, clean_metrics, adv_metrics)."""
+    (state, clean_metrics, adv_metrics). Pass a cached
+    ``make_jitted_attack`` result to avoid per-call retracing."""
     state, clean_metrics = trainer.train_step(state, images, labels)
-    variables = {"params": state.params}
-    if state.batch_stats:
-        variables["batch_stats"] = state.batch_stats
-    attack = make_attack_loss(trainer.model, variables, labels)
-    adv_images = fgsm(attack, images, epsilon)
+    if attack_fn is None:
+        attack_fn = make_jitted_attack(trainer.model, epsilon)
+    adv_images = attack_fn(state.params, state.batch_stats, images, labels)
     state, adv_metrics = trainer.train_step(state, adv_images, labels)
     return state, clean_metrics, adv_metrics
