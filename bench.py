@@ -110,7 +110,7 @@ def measure_tf_cpu_baseline() -> float:
     import tensorflow as tf
 
     tf.config.set_visible_devices([], "GPU")
-    schedule = [(3, 32), "M", (3, 64), "M", (3, 128), (1, 64), (3, 128),
+    schedule = [(3, 32), "M", (3, 64), "M", (3, 128), (3, 64), (3, 128),
                 "M", (3, 256), (1, 128), (3, 256), "M", (3, 512), (1, 256),
                 (3, 512), (1, 256), (3, 512), "M", (3, 1024), (1, 512),
                 (3, 1024), (1, 512), (3, 1024),
