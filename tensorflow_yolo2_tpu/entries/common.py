@@ -64,7 +64,21 @@ def bootstrap_state(trainer: Trainer, mgr: CheckpointManager,
                                  batch_stats_override=batch_stats_override)
     last = mgr.latest_step()
     if last is not None:
-        state, step = mgr.restore(state)
+        try:
+            state, step = mgr.restore(state)
+        except ValueError:
+            # snapshot was written under a different optimizer: restore
+            # params/stats by intersection and re-init the optimizer state
+            # (the reference's optimizer-swap path, net_utils.py:203-212)
+            raw = mgr.restore_raw()
+            params, _ = merge_pytrees(state.params, raw.get("params"))
+            stats, _ = merge_pytrees(state.batch_stats,
+                                     raw.get("batch_stats", {}))
+            state = trainer.resume_optimizer(
+                state.replace(params=params, batch_stats=stats))
+            step = mgr.latest_step()
+            print("Optimizer state in snapshot does not match — restored "
+                  "params/stats only, optimizer re-initialized")
         print(f"Restored snapshot at {mgr.interval} {step} from {mgr.dir}")
         return trainer.shard_state(state), step
     if warm_start_dir:

@@ -79,6 +79,29 @@ def test_aug_and_pad_policies(tmp_root, ilsvrc_dir):
     assert (images == -1.0).any() or (np.abs(images) < 1.01).all()
 
 
+@pytest.mark.slow
+def test_imagenet_train_and_test_entries(tmp_root, ilsvrc_dir):
+    """imagenet_train_darknet (2 iters, epoch-named snapshot) then the
+    imagenet_test_darknet accuracy/throughput harness end-to-end."""
+    from tensorflow_yolo2_tpu.entries import (
+        imagenet_test_darknet,
+        imagenet_train_darknet,
+    )
+
+    rc = imagenet_train_darknet.main([
+        "--iters", "2", "--batch-size", "4", "--num-workers", "1",
+        "--save-every", "2", "--eval-every", "2",
+        "--data-path", ilsvrc_dir, "--compute-dtype", "float32"])
+    assert rc == 0
+    ckpts = tmp_root / "ckpts" / "darknet19" / "ilsvrc_2017_cls"
+    assert any(p.name.startswith("train_epoch_") for p in ckpts.iterdir())
+
+    rc = imagenet_test_darknet.main([
+        "--batch-size", "3", "--max-batches", "2", "--num-workers", "1",
+        "--data-path", ilsvrc_dir, "--compute-dtype", "float32"])
+    assert rc == 0
+
+
 def test_parallel_prefetch_no_drop_no_dup(tmp_root, ilsvrc_dir):
     """thread_safe prefetch over the locked imdb: with one worker the
     order is strict, so one epoch's batches hold each example exactly
