@@ -99,7 +99,7 @@ def make_detect_fn(yolo: YoloConfig, params, batch_stats,
 
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("image", nargs="?", default="tests/testImg2.jpg")
+    p.add_argument("image", nargs="?", default="assets/demo.jpg")
     p.add_argument("--threshold", type=float, default=0.5)
     p.add_argument("--nms", action="store_true",
                    help="apply class-aware NMS (the reference has none)")

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("image", nargs="?", default="tests/testImg2.jpg")
+    p.add_argument("image", nargs="?", default="assets/demo.jpg")
     p.add_argument("--threshold", type=float, default=0.2)
     p.add_argument("--nms", action="store_true")
     p.add_argument("--out", default=None)
