@@ -45,10 +45,10 @@ def main(argv: list[str] | None = None) -> int:
                                          jax.random.PRNGKey(0), sample[:1])
 
     @jax.jit
-    def topk_correct(state_params, images, labels):
+    def topk_correct(state_params, batch_stats, images, labels):
         variables = {"params": state_params}
-        if state.batch_stats:
-            variables["batch_stats"] = state.batch_stats
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
         logits = model.apply(variables, images, train=False)
         top1 = (jnp.argmax(logits, -1) == labels).sum()
         k = min(5, logits.shape[-1])
@@ -60,7 +60,8 @@ def main(argv: list[str] | None = None) -> int:
     c1 = c5 = total = 0
     for _ in range(n_batches):
         images, labels = trainer.put_batch(*get_batch())
-        t1, t5 = topk_correct(state.params, images, labels)
+        t1, t5 = topk_correct(state.params, state.batch_stats, images,
+                              labels)
         c1 += int(t1)
         c5 += int(t5)
         total += batch_size

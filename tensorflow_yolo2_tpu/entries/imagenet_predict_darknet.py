@@ -39,10 +39,15 @@ def main(argv: list[str] | None = None) -> int:
     model = Darknet19Classifier(num_classes=imdb.num_class, fold_bn=True,
                                 dtype=jnp.bfloat16)
 
+    params = jax.device_put(params)  # jit args, not closure consts
+
     @jax.jit
-    def predict(images):
+    def _predict(params, images):
         return jax.nn.softmax(model.apply({"params": params}, images,
                                           train=False))
+
+    def predict(images):
+        return _predict(params, images)
 
     image = image_read(args.image, args.image_size)
     probs = np.asarray(predict(image[None])[0])

@@ -79,8 +79,14 @@ def make_detect_fn(yolo: YoloConfig, params, batch_stats,
         model = Darknet19Detector(output_channels=yolo.cell_channels,
                                   bn_on_output=bn_on_output, dtype=dtype)
 
+    # params must be jit ARGUMENTS, not closure constants: closed-over
+    # arrays are baked into the HLO as literals, which bloats the program
+    # (and overflows the axon tunnel's compile-request size limit for
+    # large models)
+    variables = jax.device_put(variables)
+
     @jax.jit
-    def detect(images: jnp.ndarray) -> Detections:
+    def _detect(variables, images: jnp.ndarray) -> Detections:
         grid = model.apply(variables, images, train=False)
         if v2:
             from tensorflow_yolo2_tpu.ops.boxes import decode_grid_v2
@@ -93,6 +99,9 @@ def make_detect_fn(yolo: YoloConfig, params, batch_stats,
             dets = jax.vmap(
                 lambda d: nms_fixed(d, nms_iou, max_outputs=32))(dets)
         return dets
+
+    def detect(images: jnp.ndarray) -> Detections:
+        return _detect(variables, images)
 
     return detect
 

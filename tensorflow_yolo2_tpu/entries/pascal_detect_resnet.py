@@ -48,13 +48,18 @@ def main(argv: list[str] | None = None) -> int:
     if stats:
         variables["batch_stats"] = stats
 
+    variables = jax.device_put(variables)  # jit args, not closure consts
+
     @jax.jit
-    def detect(images):
+    def _detect(variables, images):
         grid = model.apply(variables, images, train=False)
         dets = decode_grid_pallas(grid, yolo, args.threshold)
         if args.nms:
             dets = jax.vmap(lambda d: nms_fixed(d, 0.5, max_outputs=32))(dets)
         return dets
+
+    def detect(images):
+        return _detect(variables, images)
 
     image = image_read(args.image, yolo.image_size)
     dets = detect(image[None])
