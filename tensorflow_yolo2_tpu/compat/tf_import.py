@@ -174,6 +174,137 @@ def import_resnet50_checkpoint(path: str, scope: str = "resnet_v1_50"):
     return params, stats
 
 
+# ---------------------------------------------------------------------------
+# slim inception_resnet_v2 (named mapping)
+# ---------------------------------------------------------------------------
+
+# slim scope suffix → Flax ConvBNReLU module name, per structural section.
+# slim names from the vendored net the reference trains
+# (src/slim_dir/nets/inception_resnet_v2.py:115-216 and the modified copy
+# src/yolo2_nets/inception_resnet_v2.py; restore path net_utils.py:113-134).
+
+_IRV2_STEM = {
+    "Conv2d_1a_3x3": "conv1a", "Conv2d_2a_3x3": "conv2a",
+    "Conv2d_2b_3x3": "conv2b", "Conv2d_3b_1x1": "conv3b",
+    "Conv2d_4a_3x3": "conv4a",
+}
+_IRV2_MIXED5B = {
+    "Mixed_5b/Branch_0/Conv2d_1x1": "m5_b0",
+    "Mixed_5b/Branch_1/Conv2d_0a_1x1": "m5_b1a",
+    "Mixed_5b/Branch_1/Conv2d_0b_5x5": "m5_b1b",
+    "Mixed_5b/Branch_2/Conv2d_0a_1x1": "m5_b2a",
+    "Mixed_5b/Branch_2/Conv2d_0b_3x3": "m5_b2b",
+    "Mixed_5b/Branch_2/Conv2d_0c_3x3": "m5_b2c",
+    "Mixed_5b/Branch_3/Conv2d_0b_1x1": "m5_b3",
+}
+_IRV2_MIXED6A = {
+    "Mixed_6a/Branch_0/Conv2d_1a_3x3": "redA_b0",
+    "Mixed_6a/Branch_1/Conv2d_0a_1x1": "redA_b1a",
+    "Mixed_6a/Branch_1/Conv2d_0b_3x3": "redA_b1b",
+    "Mixed_6a/Branch_1/Conv2d_1a_3x3": "redA_b1c",
+}
+_IRV2_MIXED7A = {
+    "Mixed_7a/Branch_0/Conv2d_0a_1x1": "redB_b0a",
+    "Mixed_7a/Branch_0/Conv2d_1a_3x3": "redB_b0b",
+    "Mixed_7a/Branch_1/Conv2d_0a_1x1": "redB_b1a",
+    "Mixed_7a/Branch_1/Conv2d_1a_3x3": "redB_b1b",
+    "Mixed_7a/Branch_2/Conv2d_0a_1x1": "redB_b2a",
+    "Mixed_7a/Branch_2/Conv2d_0b_3x3": "redB_b2b",
+    "Mixed_7a/Branch_2/Conv2d_1a_3x3": "redB_b2c",
+}
+# residual-block branch layout per family (slim block35/17/8 at
+# inception_resnet_v2.py:33-91)
+_IRV2_BLOCK_BRANCHES = {
+    "block35": {
+        "Branch_0/Conv2d_1x1": "b0",
+        "Branch_1/Conv2d_0a_1x1": "b1a", "Branch_1/Conv2d_0b_3x3": "b1b",
+        "Branch_2/Conv2d_0a_1x1": "b2a", "Branch_2/Conv2d_0b_3x3": "b2b",
+        "Branch_2/Conv2d_0c_3x3": "b2c",
+    },
+    "block17": {
+        "Branch_0/Conv2d_1x1": "b0",
+        "Branch_1/Conv2d_0a_1x1": "b1a", "Branch_1/Conv2d_0b_1x7": "b1b",
+        "Branch_1/Conv2d_0c_7x1": "b1c",
+    },
+    "block8": {
+        "Branch_0/Conv2d_1x1": "b0",
+        "Branch_1/Conv2d_0a_1x1": "b1a", "Branch_1/Conv2d_0b_1x3": "b1b",
+        "Branch_1/Conv2d_0c_3x1": "b1c",
+    },
+}
+
+
+def _slim_conv_bn_noscale(var_map: Mapping[str, np.ndarray], prefix: str):
+    """One slim conv2d+batch_norm (scale=False → no gamma) → ConvBNReLU
+    params/stats dicts."""
+    params = {
+        "conv": {"kernel": var_map[f"{prefix}/weights"]},
+        "bn": {"bias": var_map[f"{prefix}/BatchNorm/beta"]},
+    }
+    stats = {"bn": {"mean": var_map[f"{prefix}/BatchNorm/moving_mean"],
+                    "var": var_map[f"{prefix}/BatchNorm/moving_variance"]}}
+    return params, stats
+
+
+def import_inception_resnet_v2_checkpoint(path: str,
+                                          scope: str = "InceptionResnetV2"):
+    """Import a slim inception_resnet_v2 checkpoint → (params,
+    batch_stats) for models.inception.InceptionResnetV2.
+
+    Covers the capability behind the reference's
+    ``restore_inception_resnet_variables_from_weight``
+    (net_utils.py:113-134): load the released/trained slim weights for
+    the adversarial-training classifier. AuxLogits variables are skipped
+    (our model, like the reference's eval path, uses the main tower).
+    """
+    var_map = load_tf_checkpoint(path)
+    params: dict[str, Any] = {}
+    stats: dict[str, Any] = {}
+
+    flat = {}
+    flat.update(_IRV2_STEM)
+    flat.update(_IRV2_MIXED5B)
+    flat.update(_IRV2_MIXED6A)
+    flat.update(_IRV2_MIXED7A)
+    flat["Conv2d_7b_1x1"] = "conv7b"
+    for suffix, dst in flat.items():
+        p, s = _slim_conv_bn_noscale(var_map, f"{scope}/{suffix}")
+        params[dst] = p
+        stats[dst] = s
+
+    def take_block(src_scope: str, family: str, dst: str):
+        p: dict[str, Any] = {}
+        s: dict[str, Any] = {}
+        for suffix, name in _IRV2_BLOCK_BRANCHES[family].items():
+            bp, bs = _slim_conv_bn_noscale(var_map, f"{src_scope}/{suffix}")
+            p[name] = bp
+            s[name] = bs
+        # the linear up-projection has a bias and no BN
+        p["up"] = {"kernel": var_map[f"{src_scope}/Conv2d_1x1/weights"],
+                   "bias": var_map[f"{src_scope}/Conv2d_1x1/biases"]}
+        params[dst] = p
+        stats[dst] = s
+
+    for k in range(1, 11):  # slim.repeat names units 1-based
+        take_block(f"{scope}/Repeat/block35_{k}", "block35",
+                   f"block35_{k - 1}")
+    for k in range(1, 21):
+        take_block(f"{scope}/Repeat_1/block17_{k}", "block17",
+                   f"block17_{k - 1}")
+    for k in range(1, 10):
+        take_block(f"{scope}/Repeat_2/block8_{k}", "block8",
+                   f"block8_{k - 1}")
+    # the final unscaled block8(activation_fn=None) sits at top scope
+    take_block(f"{scope}/Block8", "block8", "block8_post")
+
+    logits_key = f"{scope}/Logits/Logits/weights"
+    if logits_key in var_map:
+        params["logits"] = {
+            "kernel": var_map[logits_key],
+            "bias": var_map[f"{scope}/Logits/Logits/biases"]}
+    return params, stats
+
+
 def import_resnet_detector_checkpoint(path: str, scope: str = "resnet_v1_50"):
     """Import the full pascal resnet detector (backbone + yolo_fc heads,
     pascal_train_resnet.py:41-50 / net_utils.py:177-199)."""

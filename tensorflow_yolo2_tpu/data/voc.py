@@ -30,6 +30,34 @@ import numpy as np
 
 from tensorflow_yolo2_tpu.config import VOC_CLASSES, Paths, YoloConfig
 from tensorflow_yolo2_tpu.data.augment import image_read
+from tensorflow_yolo2_tpu.utils import native
+
+
+def build_label_grid(corners_xyxy: np.ndarray, cls_inds: np.ndarray,
+                     S: int, num_class: int,
+                     image_size: float) -> np.ndarray:
+    """Resized-space x1y1x2y2 boxes → (S, S, 5+num_class) YOLO grid with
+    the reference's cell math (pascal_voc.py:156-163): cxcywh stored in
+    resized pixels, one object per cell, first object wins.
+
+    Runs in the native C++ kernel when available (utils/native.py),
+    else in the numpy loop below — both paths are parity-tested.
+    """
+    fast = native.label_grid(corners_xyxy, cls_inds, S, num_class,
+                             image_size)
+    if fast is not None:
+        return fast
+    label = np.zeros((S, S, 5 + num_class), np.float32)
+    for (x1, y1, x2, y2), cls_ind in zip(corners_xyxy, cls_inds):
+        boxes = [(x2 + x1) / 2.0, (y2 + y1) / 2.0, x2 - x1, y2 - y1]
+        x_ind = int(boxes[0] * S / image_size)
+        y_ind = int(boxes[1] * S / image_size)
+        if label[y_ind, x_ind, 0] == 1:  # first object wins
+            continue
+        label[y_ind, x_ind, 0] = 1
+        label[y_ind, x_ind, 1:5] = boxes
+        label[y_ind, x_ind, 5 + cls_ind] = 1
+    return label
 
 
 class PascalVOC:
@@ -150,10 +178,10 @@ class PascalVOC:
         h_ratio = float(self.image_size) / im.shape[0]
         w_ratio = float(self.image_size) / im.shape[1]
 
-        label = np.zeros(
-            (self.cell_size, self.cell_size, 5 + self.num_class), np.float32)
         filename = os.path.join(self.data_path, "Annotations", index + ".xml")
         objs = ET.parse(filename).findall("object")
+        corners = []
+        cls_inds = []
         for obj in objs:
             bbox = obj.find("bndbox")
             # 0-based pixel coords in the resized space, clamped to the image
@@ -165,13 +193,11 @@ class PascalVOC:
                          self.image_size - 1), 0)
             y2 = max(min((float(bbox.find("ymax").text) - 1) * h_ratio,
                          self.image_size - 1), 0)
-            cls_ind = self.class_to_ind[obj.find("name").text.lower().strip()]
-            boxes = [(x2 + x1) / 2.0, (y2 + y1) / 2.0, x2 - x1, y2 - y1]
-            x_ind = int(boxes[0] * self.cell_size / self.image_size)
-            y_ind = int(boxes[1] * self.cell_size / self.image_size)
-            if label[y_ind, x_ind, 0] == 1:  # first object wins
-                continue
-            label[y_ind, x_ind, 0] = 1
-            label[y_ind, x_ind, 1:5] = boxes
-            label[y_ind, x_ind, 5 + cls_ind] = 1
+            corners.append((x1, y1, x2, y2))
+            cls_inds.append(
+                self.class_to_ind[obj.find("name").text.lower().strip()])
+        label = build_label_grid(
+            np.asarray(corners, np.float32).reshape(-1, 4),
+            np.asarray(cls_inds, np.int32), self.cell_size, self.num_class,
+            float(self.image_size))
         return label, len(objs)

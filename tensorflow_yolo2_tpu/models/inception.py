@@ -28,7 +28,9 @@ import jax.numpy as jnp
 
 class ConvBNReLU(nn.Module):
     """slim conv2d with batch_norm normalizer (inception arg_scope:
-    BN momentum 0.9997, eps 0.001, no conv bias)."""
+    BN momentum 0.9997, eps 0.001, no conv bias, no BN gamma — slim
+    batch_norm defaults scale=False, matching the released inception
+    checkpoints)."""
 
     features: int
     kernel: tuple[int, int] = (3, 3)
@@ -43,7 +45,8 @@ class ConvBNReLU(nn.Module):
                     padding=self.padding, use_bias=False, dtype=self.dtype,
                     name="conv")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9997,
-                         epsilon=1e-3, dtype=self.dtype, name="bn")(x)
+                         epsilon=1e-3, use_scale=False, dtype=self.dtype,
+                         name="bn")(x)
         return nn.relu(x)
 
 
@@ -127,7 +130,7 @@ class _MixedV3A(nn.Module):  # 35×35 tower
         br2 = C(96, 3, 3, "b2c")(
             C(96, 3, 3, "b2b")(C(64, 1, 1, "b2a")(x, train), train), train)
         br3 = C(self.pool_features, 1, 1, "b3")(
-            nn.avg_pool(x, (3, 3), (1, 1), "SAME"), train)
+            nn.avg_pool(x, (3, 3), (1, 1), "SAME", count_include_pad=False), train)
         return _concat([br0, br1, br2, br3])
 
 
@@ -150,7 +153,7 @@ class _MixedV3B(nn.Module):  # 17×17 tower with 1×7/7×1 factorization
         t = C(c7, 7, 1, "b2d")(t, train)
         br2 = C(192, 1, 7, "b2e")(t, train)
         br3 = C(192, 1, 1, "b3")(
-            nn.avg_pool(x, (3, 3), (1, 1), "SAME"), train)
+            nn.avg_pool(x, (3, 3), (1, 1), "SAME", count_include_pad=False), train)
         return _concat([br0, br1, br2, br3])
 
 
@@ -170,7 +173,7 @@ class _MixedV3C(nn.Module):  # 8×8 tower
         br2 = _concat([C(384, 1, 3, "b2c")(t, train),
                        C(384, 3, 1, "b2d")(t, train)])
         br3 = C(192, 1, 1, "b3")(
-            nn.avg_pool(x, (3, 3), (1, 1), "SAME"), train)
+            nn.avg_pool(x, (3, 3), (1, 1), "SAME", count_include_pad=False), train)
         return _concat([br0, br1, br2, br3])
 
 
@@ -219,10 +222,12 @@ class InceptionV3(nn.Module):
 
 class _IRBlock(nn.Module):
     """Inception-ResNet residual block (block35/17/8 families) with the
-    canonical residual scaling."""
+    canonical residual scaling; ``use_relu=False`` gives slim's final
+    unscaled ``block8(net, activation_fn=None)``."""
 
     kind: str  # "35" | "17" | "8"
     scale: float
+    use_relu: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -250,7 +255,8 @@ class _IRBlock(nn.Module):
             mixed = _concat([br0, br1])
         # linear 1×1 projection back to the trunk width (no BN/ReLU)
         up = nn.Conv(x.shape[-1], (1, 1), dtype=self.dtype, name="up")(mixed)
-        return nn.relu(x + self.scale * up)
+        out = x + self.scale * up
+        return nn.relu(out) if self.use_relu else out
 
 
 class InceptionResnetV2(nn.Module):
@@ -279,7 +285,7 @@ class InceptionResnetV2(nn.Module):
         t = C(96, 3, 3, 1, "SAME", "m5_b2b")(t, train)
         br2 = C(96, 3, 3, 1, "SAME", "m5_b2c")(t, train)
         br3 = C(64, 1, 1, 1, "SAME", "m5_b3")(
-            nn.avg_pool(x, (3, 3), (1, 1), "SAME"), train)
+            nn.avg_pool(x, (3, 3), (1, 1), "SAME", count_include_pad=False), train)
         x = _concat([br0, br1, br2, br3])
         for i in range(10):
             x = _IRBlock("35", 0.17, dtype=self.dtype,
@@ -305,6 +311,9 @@ class InceptionResnetV2(nn.Module):
         for i in range(9):
             x = _IRBlock("8", 0.20, dtype=self.dtype,
                          name=f"block8_{i}")(x, train)
+        # slim ends the tower with one unscaled, non-activated block8
+        x = _IRBlock("8", 1.0, use_relu=False, dtype=self.dtype,
+                     name="block8_post")(x, train)
         x = ConvBNReLU(1536, (1, 1), dtype=self.dtype, name="conv7b")(x, train)
         x = jnp.mean(x, axis=(1, 2))
         x = nn.Dropout(0.2, deterministic=not train)(x)
@@ -346,7 +355,7 @@ class InceptionV4(nn.Module):
             t = C(96, 3, 3, 1, "SAME", f"a{i}_b2b")(t, train)
             br2 = C(96, 3, 3, 1, "SAME", f"a{i}_b2c")(t, train)
             br3 = C(96, 1, 1, 1, "SAME", f"a{i}_b3")(
-                nn.avg_pool(x, (3, 3), (1, 1), "SAME"), train)
+                nn.avg_pool(x, (3, 3), (1, 1), "SAME", count_include_pad=False), train)
             return _concat([br0, br1, br2, br3])
 
         def block_b(x, i):
@@ -360,7 +369,7 @@ class InceptionV4(nn.Module):
             t = C(224, 7, 1, 1, "SAME", f"b{i}_b2d")(t, train)
             br2 = C(256, 1, 7, 1, "SAME", f"b{i}_b2e")(t, train)
             br3 = C(128, 1, 1, 1, "SAME", f"b{i}_b3")(
-                nn.avg_pool(x, (3, 3), (1, 1), "SAME"), train)
+                nn.avg_pool(x, (3, 3), (1, 1), "SAME", count_include_pad=False), train)
             return _concat([br0, br1, br2, br3])
 
         def block_c(x, i):
@@ -374,7 +383,7 @@ class InceptionV4(nn.Module):
             br2 = _concat([C(256, 3, 1, 1, "SAME", f"c{i}_b2d")(t, train),
                            C(256, 1, 3, 1, "SAME", f"c{i}_b2e")(t, train)])
             br3 = C(256, 1, 1, 1, "SAME", f"c{i}_b3")(
-                nn.avg_pool(x, (3, 3), (1, 1), "SAME"), train)
+                nn.avg_pool(x, (3, 3), (1, 1), "SAME", count_include_pad=False), train)
             return _concat([br0, br1, br2, br3])
 
         for i in range(4):

@@ -5,7 +5,8 @@ Capability of the reference's vendored slim model zoo
 resnet_v1 {50,101,152,200} — nets_factory.py:35-78). Implemented as
 compact Flax modules registered in models.registry; each records its
 slim ``default_image_size``. The inception family (v1-v4,
-inception_resnet_v2) is tracked for a later round.
+inception_resnet_v2) lives in models.inception and the resnet_v2
+preact family in models.resnet_v2; both merge into this registry below.
 
 These are classifier capabilities, not weight-import targets (only
 resnet_v1_50 and darknet19 have released checkpoints in the reference
