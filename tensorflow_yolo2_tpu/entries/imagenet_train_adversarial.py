@@ -8,8 +8,11 @@ for the attack; here FGSM is ``grad`` w.r.t. the input fused into the
 same XLA program (train.adversarial), and the 15-channel contrast
 transform runs on-device (models.contrast).
 
-The backbone defaults to resnet_v1_50 (the inception_resnet_v2 family is
-tracked for a later round); any registered classifier works.
+The backbone defaults to resnet_v1_50 (fast to compile); pass
+``--backbone inception_resnet_v2`` for the reference's classifier, and
+``--tf-weights <slim ckpt>`` to warm-start it from released slim weights
+(the reference's restore_inception_resnet_variables_from_weight,
+net_utils.py:113-134 — name intersection, new scopes keep their init).
 """
 
 from __future__ import annotations
@@ -39,6 +42,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--epsilon", type=float, default=8 / 255 * 2)
     p.add_argument("--noise-aug", action="store_true",
                    help="±ε sign-noise augmentation in the host loader")
+    p.add_argument("--tf-weights", default=None,
+                   help="slim inception_resnet_v2 TF checkpoint to "
+                        "warm-start the backbone from (fresh runs only)")
     args = p.parse_args(argv)
 
     from tensorflow_yolo2_tpu.utils.jaxsetup import enable_compilation_cache
@@ -51,8 +57,12 @@ def main(argv: list[str] | None = None) -> int:
 
     imdb = IlsvrcCls("train", batch_size=batch_size, data_aug=True,
                      random_noise=args.noise_aug, data_path=args.data_path)
-    backbone = get_network(args.backbone, num_classes=imdb.num_class,
-                           dtype=dtype, global_pool=True)
+    try:
+        backbone = get_network(args.backbone, num_classes=imdb.num_class,
+                               dtype=dtype, global_pool=True)
+    except TypeError:  # zoo nets (inception family) always global-pool
+        backbone = get_network(args.backbone, num_classes=imdb.num_class,
+                               dtype=dtype)
     model = ContrastInputModel(backbone=backbone, dtype=dtype)
     trainer = Trainer(
         model, softmax_task(),
@@ -68,6 +78,24 @@ def main(argv: list[str] | None = None) -> int:
     sample, _ = imdb.get()
     state, start = common.bootstrap_state(
         trainer, mgr, jax.random.PRNGKey(args.seed), sample[:1])
+
+    if args.tf_weights and start == 0:
+        # warm-start the wrapped backbone from slim weights by name/shape
+        # intersection; the input-transform conv and any reshaped logits
+        # keep their fresh init (reference exclusion semantics)
+        from tensorflow_yolo2_tpu.compat.tf_import import (
+            import_inception_resnet_v2_checkpoint,
+        )
+        from tensorflow_yolo2_tpu.train.checkpoint import merge_pytrees
+        bk_params, bk_stats = import_inception_resnet_v2_checkpoint(
+            args.tf_weights)
+        params, n_p = merge_pytrees(state.params,
+                                    {"backbone": bk_params})
+        stats, n_s = merge_pytrees(state.batch_stats,
+                                   {"backbone": bk_stats})
+        state = state.replace(params=params, batch_stats=stats)
+        print(f"Warm-started {n_p} param / {n_s} stat tensors "
+              f"from {args.tf_weights}")
 
     attack_fn = make_jitted_attack(model, args.epsilon)
     for i in range(start + 1, start + iters + 1):

@@ -112,6 +112,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--threshold", type=float, default=0.5)
     p.add_argument("--nms", action="store_true",
                    help="apply class-aware NMS (the reference has none)")
+    p.add_argument("--host-nms", action="store_true",
+                   help="run the NMS post-process on host in the native "
+                        "C++ kernel (utils/native.py) instead of inside "
+                        "the jitted graph — same survivor set")
     p.add_argument("--tf-checkpoint", default=None)
     p.add_argument("--out", default=None)
     p.add_argument("--no-fold-bn", action="store_true")
@@ -147,14 +151,24 @@ def main(argv: list[str] | None = None) -> int:
                           image_size=args.image_size)
         params, stats = load_detector_params(yolo, args.tf_checkpoint)
     detect = make_detect_fn(yolo, params, stats, args.threshold,
-                            use_nms=args.nms, fold_bn=not args.no_fold_bn,
-                            v2=args.v2)
+                            use_nms=args.nms and not args.host_nms,
+                            fold_bn=not args.no_fold_bn, v2=args.v2)
 
     image = image_read(args.image, yolo.image_size)  # BGR, [-1, 1]
     dets = detect(image[None])
-    out = draw_detections(args.image, np.asarray(dets.boxes[0]),
-                          np.asarray(dets.scores[0]),
-                          np.asarray(dets.classes[0]), VOC_CLASSES,
+    boxes = np.asarray(dets.boxes[0])
+    scores = np.asarray(dets.scores[0])
+    classes = np.asarray(dets.classes[0])
+    if args.host_nms:
+        from tensorflow_yolo2_tpu.utils import native
+
+        keep = native.nms(boxes, scores, classes, iou_thresh=0.5,
+                          class_aware=True, score_thresh=0.0)
+        if keep is None:
+            p.error("native library unavailable (no toolchain?); "
+                    "use --nms for the on-device NMS")
+        boxes, scores, classes = boxes[keep], scores[keep], classes[keep]
+    out = draw_detections(args.image, boxes, scores, classes, VOC_CLASSES,
                           out_path=args.out)
     print(f"Wrote {out}")
     return 0

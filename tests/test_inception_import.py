@@ -174,11 +174,11 @@ def build_tf_inception_resnet_v2(v1, images, rng):
         return x
 
 
-@pytest.mark.slow
-def test_inception_resnet_v2_import_forward_parity(tmp_path):
+@pytest.fixture(scope="module")
+def slim_ckpt(tmp_path_factory):
+    """(ckpt path, tf logits, input images) from a slim-convention graph."""
     rng = np.random.RandomState(7)
     images = rng.uniform(-1, 1, (1, 96, 96, 3)).astype(np.float32)
-
     v1 = tf.compat.v1
     graph = tf.Graph()
     with graph.as_default():
@@ -187,9 +187,15 @@ def test_inception_resnet_v2_import_forward_parity(tmp_path):
         with v1.Session() as sess:
             sess.run(v1.global_variables_initializer())
             tf_out = sess.run(out)
-            ckpt = str(tmp_path / "inception_resnet_v2.ckpt")
+            ckpt = str(tmp_path_factory.mktemp("irv2")
+                       / "inception_resnet_v2.ckpt")
             saver.save(sess, ckpt)
+    return ckpt, tf_out, images
 
+
+@pytest.mark.slow
+def test_inception_resnet_v2_import_forward_parity(slim_ckpt):
+    ckpt, tf_out, images = slim_ckpt
     params, stats = import_inception_resnet_v2_checkpoint(ckpt)
     model = InceptionResnetV2(num_classes=NUM_CLASSES)
     got = model.apply({"params": params, "batch_stats": stats},
@@ -198,3 +204,39 @@ def test_inception_resnet_v2_import_forward_parity(tmp_path):
     assert got.shape == tf_out.shape == (1, NUM_CLASSES)
     # fp32 accumulation-order differences through ~100 convs
     np.testing.assert_allclose(got, tf_out, rtol=5e-3, atol=5e-3)
+
+
+@pytest.mark.slow
+def test_warm_start_contrast_model_from_slim_ckpt(slim_ckpt):
+    """The adversarial classifier (ContrastInputModel wrapping the
+    backbone) warm-starts from slim weights by name/shape intersection:
+    every backbone tensor is grafted, the 15-channel input-transform conv
+    keeps its fresh init (the reference's exclusion semantics,
+    net_utils.py:113-134)."""
+    from tensorflow_yolo2_tpu.models.contrast import ContrastInputModel
+    from tensorflow_yolo2_tpu.train.checkpoint import merge_pytrees
+
+    ckpt, _, images = slim_ckpt
+    model = ContrastInputModel(
+        backbone=InceptionResnetV2(num_classes=NUM_CLASSES))
+    variables = model.init(jax.random.PRNGKey(0),
+                           jax.numpy.asarray(images), train=False)
+
+    bk_params, bk_stats = import_inception_resnet_v2_checkpoint(ckpt)
+    n_bk = len(jax.tree_util.tree_leaves(bk_params))
+    merged, n = merge_pytrees(variables["params"], {"backbone": bk_params})
+    assert n == n_bk  # every imported tensor found its slot
+    _, n_stats = merge_pytrees(variables["batch_stats"],
+                               {"backbone": bk_stats})
+    assert n_stats == len(jax.tree_util.tree_leaves(bk_stats))
+    # the input transform is NOT in the checkpoint and keeps its init
+    np.testing.assert_array_equal(
+        np.asarray(merged["input_transform"]["kernel"]),
+        np.asarray(variables["params"]["input_transform"]["kernel"]))
+    # a deep backbone leaf actually changed
+    got = np.asarray(
+        merged["backbone"]["block8_post"]["up"]["kernel"])
+    assert not np.array_equal(
+        got,
+        np.asarray(variables["params"]["backbone"]["block8_post"]["up"]
+                   ["kernel"]))
