@@ -86,6 +86,10 @@ def _register_builtins() -> None:
         @register("yolo1", 448)
         def _yolo1(**kw: Any) -> nn.Module:
             return yolo1.Yolo1Net(**kw)
+
+        @register("yolo1_pretrain", 448)
+        def _yolo1_pre(num_classes: int = 1000, **kw: Any) -> nn.Module:
+            return yolo1.Yolo1PretrainNet(num_classes=num_classes, **kw)
     except ImportError:
         pass
 

@@ -31,6 +31,39 @@ _YOLO1_SCHEDULE: Sequence = (
 )
 
 
+class Yolo1PretrainNet(nn.Module):
+    """YOLOv1 classification-pretraining net (reference
+    yolo1_pretrain.py:65-90): the first 20 convs of the schedule, a 2×2/2
+    average pool to 7×7×1024 (448² input), flatten, and one linear FC to
+    the class logits."""
+
+    num_classes: int = 1000
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        del train  # no dropout/BN in the pretrain net
+        conv_i = 0
+        for item in _YOLO1_SCHEDULE:
+            if item == "M":
+                x = max_pool(x, 2, 2)
+                continue
+            k, f, s = item
+            conv_i += 1
+            x = nn.Conv(f, (k, k), strides=(s, s), padding="SAME",
+                        dtype=self.dtype, param_dtype=self.param_dtype,
+                        name=f"conv{conv_i}")(x)
+            x = leaky_relu(x)
+            if conv_i == 20:
+                break
+        x = nn.avg_pool(x, (2, 2), (2, 2))
+        x = x.reshape(x.shape[0], -1)
+        x = nn.Dense(self.num_classes, dtype=self.dtype,
+                     param_dtype=self.param_dtype, name="fc21")(x)
+        return x.astype(jnp.float32)
+
+
 class Yolo1Net(nn.Module):
     """24-conv YOLOv1 + FC head → (batch, S, S, out) grid."""
 

@@ -19,7 +19,7 @@ HEAVY = [("vgg_a", 224), ("vgg_16", 224), ("resnet_v2_50", 64),
          ("alexnet_v2", 224), ("overfeat", 231), ("inception_v1", 64),
          ("inception_v3", 160), ("inception_v4", 160),
          ("inception_resnet_v2", 160), ("resnet_v1_101", 64),
-         ("yolo1", 448)]
+         ("yolo1", 448), ("yolo1_pretrain", 448)]
 
 
 def test_registry_lists_the_slim_zoo():
@@ -29,8 +29,9 @@ def test_registry_lists_the_slim_zoo():
                 "resnet_v1_200", "lenet", "cifarnet", "alexnet_v2",
                 "overfeat", "vgg_a", "vgg_16", "vgg_19", "inception_v1",
                 "inception_v2", "inception_v3", "inception_v4",
-                "inception_resnet_v2", "yolo1", "resnet_v2_50",
-                "resnet_v2_101", "resnet_v2_152", "resnet_v2_200"}
+                "inception_resnet_v2", "yolo1", "yolo1_pretrain",
+                "resnet_v2_50", "resnet_v2_101", "resnet_v2_152",
+                "resnet_v2_200"}
     assert expected <= names
     assert default_image_size("inception_v3") == 299
     assert default_image_size("lenet") == 28
