@@ -1,0 +1,106 @@
+"""End-to-end serving throughput: disk → native host IO → TPU → host NMS.
+
+Measures the FULL detect pipeline, not just the device forward:
+JPEG decode + fused native resize/normalize (utils.native) in a prefetch
+thread pool, batched device forward + Pallas decode, and the native host
+NMS post-process — the serving shape of entries/pascal_detect_darknet.
+
+Usage: python benchmarks/serving_pipeline.py [image_dir] [batch] [steps]
+With no image_dir, synthesizes a directory of JPEGs first.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tensorflow_yolo2_tpu.config import YoloConfig
+from tensorflow_yolo2_tpu.data.augment import image_read
+from tensorflow_yolo2_tpu.data.prefetch import PrefetchLoader, device_prefetch
+from tensorflow_yolo2_tpu.models.darknet import Darknet19Detector
+from tensorflow_yolo2_tpu.models.fold import fold_params
+from tensorflow_yolo2_tpu.ops.pallas_decode import decode_grid_pallas
+from tensorflow_yolo2_tpu.utils import native
+from tensorflow_yolo2_tpu.utils.jaxsetup import enable_compilation_cache
+
+SIZE = 448
+
+
+def make_images(path: str, n: int = 64) -> str:
+    import cv2
+    os.makedirs(path, exist_ok=True)
+    rng = np.random.RandomState(0)
+    for i in range(n):
+        img = rng.randint(0, 256, (480, 640, 3), np.uint8)
+        cv2.imwrite(os.path.join(path, f"img{i:03d}.jpg"), img)
+    return path
+
+
+def main() -> int:
+    enable_compilation_cache()
+    image_dir = sys.argv[1] if len(sys.argv) > 1 else make_images(
+        "/tmp/serving_bench_images")
+    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    steps = int(sys.argv[3]) if len(sys.argv) > 3 else 30
+
+    files = sorted(
+        os.path.join(image_dir, f) for f in os.listdir(image_dir)
+        if f.lower().endswith((".jpg", ".jpeg", ".png")))
+    assert files, f"no images under {image_dir}"
+
+    yolo = YoloConfig(S=SIZE // 32)
+    model = Darknet19Detector(output_channels=yolo.cell_channels,
+                              dtype=jnp.bfloat16)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 3)), train=False)
+    folded = fold_params(variables["params"], variables["batch_stats"])
+    fmodel = Darknet19Detector(output_channels=yolo.cell_channels,
+                               fold_bn=True, dtype=jnp.bfloat16)
+
+    @jax.jit
+    def forward(params, images):
+        grid = fmodel.apply({"params": params}, images, train=False)
+        return decode_grid_pallas(grid, yolo, 0.3)
+
+    cursor = [0]
+
+    def read_batch():
+        out = np.empty((batch, SIZE, SIZE, 3), np.float32)
+        for j in range(batch):
+            out[j] = image_read(files[cursor[0] % len(files)], SIZE)
+            cursor[0] += 1
+        return out
+
+    n_det = 0
+    with PrefetchLoader(read_batch, num_workers=2,
+                        prefetch_size=4) as loader:
+        stream = device_prefetch(iter(loader), size=2)
+        # warm (compile) outside the timed window
+        dets = forward(folded, next(stream))
+        np.asarray(dets.scores)
+        t0 = time.perf_counter()
+        pending = []
+        for _ in range(steps):
+            pending.append(forward(folded, next(stream)))
+        for dets in pending:
+            boxes = np.asarray(dets.boxes)
+            scores = np.asarray(dets.scores)
+            classes = np.asarray(dets.classes)
+            for b in range(boxes.shape[0]):
+                keep = native.nms(boxes[b], scores[b], classes[b], 0.5)
+                n_det += 0 if keep is None else len(keep)
+        dt = time.perf_counter() - t0
+    ips = steps * batch / dt
+    print(f"serving pipeline (native_io={native.available()}): "
+          f"{ips:.0f} images/sec end-to-end "
+          f"(batch {batch}, {steps} steps, {n_det} detections kept)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

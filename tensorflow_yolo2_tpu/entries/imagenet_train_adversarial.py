@@ -45,6 +45,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--tf-weights", default=None,
                    help="slim inception_resnet_v2 TF checkpoint to "
                         "warm-start the backbone from (fresh runs only)")
+    p.add_argument("--grouped-opt", action="store_true",
+                   help="the reference's grouped two-optimizer recipe "
+                        "(imagenet_train_inception_resnet.py:147-159): "
+                        "Adam(1e-5) on the backbone stem convs "
+                        "(conv1a/conv2a ≙ Conv2d_1a/2a_3x3) + Adam(--lr) "
+                        "on the input-transform conv; all else frozen")
     args = p.parse_args(argv)
 
     from tensorflow_yolo2_tpu.utils.jaxsetup import enable_compilation_cache
@@ -64,11 +70,23 @@ def main(argv: list[str] | None = None) -> int:
         backbone = get_network(args.backbone, num_classes=imdb.num_class,
                                dtype=dtype)
     model = ContrastInputModel(backbone=backbone, dtype=dtype)
+    tx_factory = None
+    if args.grouped_opt:
+        from tensorflow_yolo2_tpu.train.optimizers import (
+            make_grouped_optimizer,
+        )
+        stem_cfg = OptimizerConfig(
+            name="adam", schedule=LRScheduleConfig(learning_rate=1e-5))
+        trf_cfg = OptimizerConfig(
+            name="adam", schedule=LRScheduleConfig(learning_rate=lr))
+        tx_factory = lambda params: make_grouped_optimizer(  # noqa: E731
+            [(("backbone/conv1a", "backbone/conv2a"), stem_cfg),
+             (("input_transform",), trf_cfg)], params)
     trainer = Trainer(
         model, softmax_task(),
         OptimizerConfig(name="momentum", momentum=0.9,
                         schedule=LRScheduleConfig(learning_rate=lr)),
-        mesh=make_mesh_for_batch(batch_size))
+        mesh=make_mesh_for_batch(batch_size), tx_factory=tx_factory)
     paths = Paths()
     name = f"{args.backbone}_adv"
     mgr = CheckpointManager(name, imdb.name, save_by_epoch=False, paths=paths)

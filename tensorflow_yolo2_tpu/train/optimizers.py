@@ -124,6 +124,38 @@ def make_optimizer(cfg: OptimizerConfig,
     return tx
 
 
+def make_grouped_optimizer(
+        groups: "list[tuple[tuple[str, ...], OptimizerConfig]]",
+        params: Any,
+        default: OptimizerConfig | None = None,
+) -> optax.GradientTransformation:
+    """Per-scope optimizer groups — the reference's grouped multi-optimizer
+    train op (imagenet_train_inception_resnet.py:147-159: ``tf.group`` of
+    several ``Optimizer.minimize(var_list=...)`` calls, e.g. Adam(1e-5) on
+    the stem convs + Adam(1e-3) on the input-transform conv).
+
+    Each param joins the FIRST group whose scope prefix matches its
+    '/'-joined path; unmatched params use ``default`` when given, else
+    they are frozen (the reference freezes everything outside the listed
+    var_lists).
+    """
+    transforms: dict[str, optax.GradientTransformation] = {
+        f"group{i}": make_optimizer(cfg) for i, (_, cfg) in enumerate(groups)
+    }
+    transforms["rest"] = (make_optimizer(default) if default is not None
+                          else optax.set_to_zero())
+
+    def label(path, _):
+        name = "/".join(str(getattr(k, "key", k)) for k in path)
+        for i, (scopes, _) in enumerate(groups):
+            if any(name.startswith(s) for s in scopes):
+                return f"group{i}"
+        return "rest"
+
+    labels = jax.tree_util.tree_map_with_path(label, params)
+    return optax.multi_transform(transforms, labels)
+
+
 def make_ema(decay: float) -> Callable[[Any, Any], Any]:
     """Parameter EMA update fn (slim --moving_average_decay,
     train_image_classifier.py:517-521)."""

@@ -97,10 +97,15 @@ class Trainer:
     def __init__(self, model: Any, task: Callable,
                  opt_cfg: OptimizerConfig = OptimizerConfig(),
                  mesh: Optional[Mesh] = None, donate: bool = True,
-                 remat: bool = False):
+                 remat: bool = False,
+                 tx_factory: Optional[Callable] = None):
+        """``tx_factory(params) -> GradientTransformation`` overrides the
+        single-optimizer build from ``opt_cfg`` (used for per-scope
+        optimizer groups, optimizers.make_grouped_optimizer)."""
         self.model = model
         self.task = task
         self.opt_cfg = opt_cfg
+        self._tx_factory = tx_factory
         self.mesh = mesh if mesh is not None else make_mesh()
         self.tx: optax.GradientTransformation | None = None
         self._ema = (make_ema(opt_cfg.moving_average_decay)
@@ -124,7 +129,8 @@ class Trainer:
             else variables["params"]
         batch_stats = batch_stats_override if batch_stats_override is not None \
             else variables.get("batch_stats", {})
-        self.tx = make_optimizer(self.opt_cfg, params)
+        self.tx = (self._tx_factory(params) if self._tx_factory
+                   else make_optimizer(self.opt_cfg, params))
         opt_state = self.tx.init(params)
         # EMA starts at the params but must hold *distinct* buffers: the
         # train step donates the state, and donating the same buffer via
@@ -150,7 +156,8 @@ class Trainer:
     def resume_optimizer(self, state: TrainState) -> TrainState:
         """Optimizer-swap on resume (reference net_utils.py:203-212):
         rebuild opt state fresh for the current params."""
-        self.tx = make_optimizer(self.opt_cfg, state.params)
+        self.tx = (self._tx_factory(state.params) if self._tx_factory
+                   else make_optimizer(self.opt_cfg, state.params))
         return state.replace(opt_state=self.tx.init(state.params))
 
     # -- steps -------------------------------------------------------------
