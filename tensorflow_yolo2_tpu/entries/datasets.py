@@ -69,6 +69,26 @@ def get_dataset(name: str, split: str = "train", **kwargs: Any):
         return PascalVOC(split if split != "train" else "trainval",
                          batch_size=kwargs.get("batch_size", 24),
                          data_path=kwargs.get("data_path"))
+    if name == "mnist":
+        from tensorflow_yolo2_tpu.data.mnist import MNIST
+
+        return MNIST(split, batch_size=kwargs.get("batch_size", 32),
+                     data_path=kwargs.get("data_path"),
+                     seed=kwargs.get("seed", 0))
+    if name in ("cifar10", "cifar-10"):
+        from tensorflow_yolo2_tpu.data.cifar10 import Cifar10
+
+        return Cifar10(split, batch_size=kwargs.get("batch_size", 32),
+                       data_path=kwargs.get("data_path"),
+                       seed=kwargs.get("seed", 0))
+    if name == "prepared":
+        from tensorflow_yolo2_tpu.data.prepared import PreparedDataset
+
+        if not kwargs.get("data_path"):
+            raise ValueError("prepared dataset needs data_path=<shard dir>")
+        return PreparedDataset(kwargs["data_path"],
+                               batch_size=kwargs.get("batch_size", 32),
+                               seed=kwargs.get("seed", 0))
     if name == "synthetic":
         return SyntheticClassification(split, **kwargs)
     raise ValueError(f"Name of dataset unknown {name!r}")

@@ -71,3 +71,53 @@ def make_flowers(root: str, classes: tuple = ("daisy", "rose", "tulip"),
             make_image(os.path.join(root, cls, f"{cls}_{i}.jpg"),
                        96, 96, seed=ci * 100 + i)
     return root
+
+
+def make_mnist(root: str, n_train: int = 32, n_test: int = 16,
+               gz: bool = False) -> str:
+    """Write IDX-format MNIST files (optionally gzipped); returns root."""
+    import gzip
+    import struct
+
+    os.makedirs(root, exist_ok=True)
+    rng = np.random.RandomState(3)
+    for n, img_name, lbl_name in (
+            (n_train, "train-images-idx3-ubyte", "train-labels-idx1-ubyte"),
+            (n_test, "t10k-images-idx3-ubyte", "t10k-labels-idx1-ubyte")):
+        images = rng.randint(0, 256, (n, 28, 28), np.uint8)
+        labels = rng.randint(0, 10, n).astype(np.uint8)
+        opener = (lambda p: gzip.open(p + ".gz", "wb")) if gz else (
+            lambda p: open(p, "wb"))
+        with opener(os.path.join(root, img_name)) as f:
+            f.write(struct.pack(">IIII", 2051, n, 28, 28))
+            f.write(images.tobytes())
+        with opener(os.path.join(root, lbl_name)) as f:
+            f.write(struct.pack(">II", 2049, n))
+            f.write(labels.tobytes())
+    return root
+
+
+def make_cifar10(root: str, per_batch: int = 8, fmt: str = "python") -> str:
+    """Write CIFAR-10 batches in the python-pickle or binary format."""
+    import pickle
+
+    os.makedirs(root, exist_ok=True)
+    rng = np.random.RandomState(5)
+    names = [b"airplane", b"automobile", b"bird", b"cat", b"deer",
+             b"dog", b"frog", b"horse", b"ship", b"truck"]
+    files = [f"data_batch_{i}" for i in range(1, 6)] + ["test_batch"]
+    for fn in files:
+        data = rng.randint(0, 256, (per_batch, 3072), np.uint8)
+        labels = rng.randint(0, 10, per_batch)
+        if fmt == "python":
+            with open(os.path.join(root, fn), "wb") as f:
+                pickle.dump({b"data": data,
+                             b"labels": labels.tolist()}, f, protocol=2)
+        else:
+            rec = np.concatenate(
+                [labels[:, None].astype(np.uint8), data], axis=1)
+            rec.tofile(os.path.join(root, fn + ".bin"))
+    if fmt == "python":
+        with open(os.path.join(root, "batches.meta"), "wb") as f:
+            pickle.dump({b"label_names": names}, f, protocol=2)
+    return root

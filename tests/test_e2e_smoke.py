@@ -101,6 +101,31 @@ def test_train_classifier_entry_synthetic(tmp_root):
             "train_iter_3").exists()
 
 
+@pytest.mark.slow
+def test_train_then_eval_classifier_mnist(tmp_root):
+    """scripts/train_lenet_on_mnist.sh capability: train lenet on IDX
+    MNIST, then eval the test split from the saved snapshot."""
+    from tensorflow_yolo2_tpu.entries import eval_classifier, train_classifier
+
+    mnist_dir = synthetic.make_mnist(str(tmp_root / "data" / "mnist"),
+                                     n_train=32, n_test=16)
+    rc = train_classifier.main([
+        "--model-name", "lenet", "--dataset-name", "mnist",
+        "--data-path", mnist_dir,
+        "--iters", "3", "--batch-size", "8", "--num-workers", "1",
+        "--optimizer", "sgd", "--learning-rate", "0.01",
+        "--compute-dtype", "float32", "--save-every", "3"])
+    assert rc == 0
+    assert (tmp_root / "ckpts" / "lenet" / "mnist" / "train_iter_3").exists()
+
+    rc = eval_classifier.main([
+        "--model-name", "lenet", "--dataset-name", "mnist",
+        "--data-path", mnist_dir, "--dataset-split-name", "test",
+        "--batch-size", "8", "--max-batches", "2",
+        "--compute-dtype", "float32"])
+    assert rc == 0
+
+
 def test_registry_zoo_models_forward():
     import jax
     import numpy as np

@@ -1,0 +1,76 @@
+"""MNIST / CIFAR-10 loaders + dataset-factory registration.
+
+Capability parity with reference src/slim_dir/datasets/{mnist,cifar10}.py
+and dataset_factory.py:30-61 — readers over the standard on-disk formats
+with the uniform imdb interface.
+"""
+
+import numpy as np
+import pytest
+
+from tensorflow_yolo2_tpu.data.cifar10 import Cifar10
+from tensorflow_yolo2_tpu.data.mnist import MNIST
+from tensorflow_yolo2_tpu.entries.datasets import get_dataset
+from tests import synthetic
+
+
+@pytest.mark.parametrize("gz", [False, True])
+def test_mnist_reader(tmp_path, gz):
+    root = synthetic.make_mnist(str(tmp_path), n_train=32, n_test=16, gz=gz)
+    imdb = MNIST("train", batch_size=8, data_path=root)
+    assert imdb.num_class == 10 and len(imdb.classes) == 10
+    assert imdb.total_batch == 4
+    images, labels = imdb.get()
+    assert images.shape == (8, 28, 28, 1) and images.dtype == np.float32
+    assert images.min() >= -1.0 and images.max() <= 1.0
+    assert labels.shape == (8,) and labels.dtype == np.int32
+    assert (labels >= 0).all() and (labels < 10).all()
+
+    test = MNIST("test", batch_size=16, data_path=root)
+    test.get()
+    assert test.epoch == 2  # 16 examples, one batch consumes the epoch
+
+
+def test_mnist_epoch_reshuffle(tmp_path):
+    root = synthetic.make_mnist(str(tmp_path), n_train=16, n_test=4)
+    imdb = MNIST("train", batch_size=16, data_path=root)
+    first, lab1 = imdb.get()
+    second, lab2 = imdb.get()
+    assert imdb.epoch == 3
+    # same multiset of examples, (almost surely) different order
+    assert sorted(lab1.tolist()) == sorted(lab2.tolist())
+
+
+@pytest.mark.parametrize("fmt", ["python", "bin"])
+def test_cifar10_reader(tmp_path, fmt):
+    root = synthetic.make_cifar10(str(tmp_path), per_batch=8, fmt=fmt)
+    imdb = Cifar10("train", batch_size=10, data_path=root)
+    assert imdb.num_class == 10
+    assert imdb.classes[0] == "airplane" and imdb.classes[-1] == "truck"
+    assert len(imdb._labels) == 40  # 5 train batches x 8
+    images, labels = imdb.get()
+    assert images.shape == (10, 32, 32, 3) and images.dtype == np.float32
+    assert images.min() >= -1.0 and images.max() <= 1.0
+
+    test = Cifar10("test", batch_size=4, data_path=root)
+    assert len(test._labels) == 8
+
+
+def test_cifar10_chw_layout(tmp_path):
+    # the 3072-byte record is CHW: first 1024 bytes are the R plane
+    root = synthetic.make_cifar10(str(tmp_path), per_batch=4, fmt="bin")
+    raw = np.fromfile(f"{root}/data_batch_1.bin", np.uint8).reshape(-1, 3073)
+    imdb = Cifar10("train", batch_size=4, data_path=root, seed=0)
+    r_plane = raw[0, 1:1025].reshape(32, 32)
+    np.testing.assert_array_equal(imdb._images[0, :, :, 0], r_plane)
+
+
+def test_factory_registration(tmp_path):
+    mroot = synthetic.make_mnist(str(tmp_path / "mnist"))
+    croot = synthetic.make_cifar10(str(tmp_path / "cifar"))
+    m = get_dataset("mnist", "train", data_path=mroot, batch_size=4)
+    c = get_dataset("cifar10", "test", data_path=croot, batch_size=4)
+    assert m.get()[0].shape == (4, 28, 28, 1)
+    assert c.get()[0].shape == (4, 32, 32, 3)
+    with pytest.raises(ValueError):
+        get_dataset("prepared")  # needs data_path
