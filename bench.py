@@ -28,8 +28,8 @@ _CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                       "BASELINE_MEASURED.json")
 _IMAGE = 448
 # batch sweep on v5e (benchmarks/compare_fast_stem.py): 32→2063 img/s,
-# 128→3764, 256→3856; 128 is the knee
-_BATCH = int(os.environ.get("BENCH_BATCH", "128"))
+# 128→3764, 256→3856; re-measured same-session 128→3565 vs 256→3695
+_BATCH = int(os.environ.get("BENCH_BATCH", "256"))
 _STEPS = int(os.environ.get("BENCH_STEPS", "20"))
 
 
