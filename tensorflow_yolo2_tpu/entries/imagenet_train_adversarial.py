@@ -13,6 +13,16 @@ The backbone defaults to resnet_v1_50 (fast to compile); pass
 ``--tf-weights <slim ckpt>`` to warm-start it from released slim weights
 (the reference's restore_inception_resnet_variables_from_weight,
 net_utils.py:113-134 — name intersection, new scopes keep their init).
+
+The reference generates its adversarial examples with a *separate*
+pretrained Inception-v3 (the cleverhans graph at :26-69 — a transfer
+attack, not a self-attack). ``--attack-model inception_v3
+[--attack-snapshot <snapshot dir>]`` reproduces that: FGSM differentiates
+the frozen generator's loss instead of the classifier's own. Without the
+flag the attack is white-box against the classifier being trained (the
+stronger, TPU-native default). Validation streams run every
+``--eval-every`` iters, giving the reference's 4 metric streams
+(train/val × clean/adv, :200-234).
 """
 
 from __future__ import annotations
@@ -45,6 +55,16 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--tf-weights", default=None,
                    help="slim inception_resnet_v2 TF checkpoint to "
                         "warm-start the backbone from (fresh runs only)")
+    p.add_argument("--attack-model", default=None,
+                   help="separate generator model for the FGSM attack "
+                        "(reference: pretrained inception_v3); default "
+                        "attacks the classifier being trained")
+    p.add_argument("--attack-snapshot", default=None,
+                   help="snapshot dir holding the generator's weights "
+                        "(merged by name/shape intersection); fresh "
+                        "init if absent")
+    p.add_argument("--image-size", type=int, default=None,
+                   help="input resolution (default: the loader's)")
     p.add_argument("--grouped-opt", action="store_true",
                    help="the reference's grouped two-optimizer recipe "
                         "(imagenet_train_inception_resnet.py:147-159): "
@@ -61,8 +81,12 @@ def main(argv: list[str] | None = None) -> int:
     lr = args.learning_rate or 1e-3
     dtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
 
+    size_kw = {"image_size": args.image_size} if args.image_size else {}
     imdb = IlsvrcCls("train", batch_size=batch_size, data_aug=True,
-                     random_noise=args.noise_aug, data_path=args.data_path)
+                     random_noise=args.noise_aug, data_path=args.data_path,
+                     **size_kw)
+    val_imdb = IlsvrcCls("val", batch_size=batch_size, data_aug=False,
+                         data_path=args.data_path, **size_kw)
     try:
         backbone = get_network(args.backbone, num_classes=imdb.num_class,
                                dtype=dtype, global_pool=True)
@@ -90,8 +114,11 @@ def main(argv: list[str] | None = None) -> int:
     paths = Paths()
     name = f"{args.backbone}_adv"
     mgr = CheckpointManager(name, imdb.name, save_by_epoch=False, paths=paths)
-    tb_train, _ = paths.tb_dirs(name, imdb.name, val=False)
+    # 4 metric streams: train/val × clean/adv (reference's 4 TB writers,
+    # imagenet_train_inception_resnet.py:200-204)
+    tb_train, tb_val = paths.tb_dirs(name, imdb.name)
     writer = MetricsWriter(tb_train)
+    val_writer = MetricsWriter(tb_val)
 
     sample, _ = imdb.get()
     state, start = common.bootstrap_state(
@@ -115,7 +142,39 @@ def main(argv: list[str] | None = None) -> int:
         print(f"Warm-started {n_p} param / {n_s} stat tensors "
               f"from {args.tf_weights}")
 
-    attack_fn = make_jitted_attack(model, args.epsilon)
+    if args.attack_model:
+        # transfer attack: a separate frozen generator model crafts the
+        # adversarial examples (the reference's pretrained inception_v3
+        # cleverhans graph, :26-69)
+        gen = get_network(args.attack_model, num_classes=imdb.num_class,
+                          dtype=dtype)
+        gvars = gen.init(jax.random.PRNGKey(args.seed + 1), sample[:1],
+                         train=False)
+        gen_params = gvars["params"]
+        gen_stats = gvars.get("batch_stats", {})
+        if args.attack_snapshot:
+            import orbax.checkpoint as ocp
+
+            from tensorflow_yolo2_tpu.train.checkpoint import merge_pytrees
+            raw = ocp.StandardCheckpointer().restore(args.attack_snapshot)
+            gen_params, n_p = merge_pytrees(
+                gen_params, raw.get("params", raw))
+            n_s = 0
+            if gen_stats and isinstance(raw, dict) and \
+                    raw.get("batch_stats"):
+                gen_stats, n_s = merge_pytrees(gen_stats,
+                                               raw["batch_stats"])
+            print(f"Attack generator {args.attack_model}: restored "
+                  f"{n_p} param / {n_s} stat tensors from "
+                  f"{args.attack_snapshot}")
+        gen_attack = make_jitted_attack(gen, args.epsilon)
+
+        def attack_fn(params, batch_stats, images, labels,
+                      _gp=gen_params, _gs=gen_stats):
+            del params, batch_stats  # generator is frozen
+            return gen_attack(_gp, _gs, images, labels)
+    else:
+        attack_fn = make_jitted_attack(model, args.epsilon)
     for i in range(start + 1, start + iters + 1):
         images, labels = trainer.put_batch(*imdb.get())
         state, clean_m, adv_m = adversarial_train_step_pair(
@@ -129,9 +188,22 @@ def main(argv: list[str] | None = None) -> int:
             writer.scalars(i, vals)
             print(f"iter {i}: " + ", ".join(
                 f"{k}: {v:.4f}" for k, v in vals.items()))
+        if args.eval_every and i % args.eval_every == 0:
+            vx, vy = trainer.put_batch(*val_imdb.get())
+            vm = trainer.eval_step(state, vx, vy)
+            v_adv = attack_fn(state.params, state.batch_stats, vx, vy)
+            vam = trainer.eval_step(state, v_adv, vy)
+            vvals = {f"clean/{k}": float(np.asarray(v))
+                     for k, v in vm.items()}
+            vvals.update({f"adv/{k}": float(np.asarray(v))
+                          for k, v in vam.items()})
+            val_writer.scalars(i, vvals)
+            print(f"iter {i} [val]: " + ", ".join(
+                f"{k}: {v:.4f}" for k, v in vvals.items()))
         if args.save_every and i % args.save_every == 0:
             mgr.save(i, jax.device_get(state))
     writer.close()
+    val_writer.close()
     return 0
 
 

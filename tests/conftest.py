@@ -34,3 +34,36 @@ def tmp_root(tmp_path, monkeypatch):
     """Point the framework's run-dir layout at a scratch directory."""
     monkeypatch.setenv("TFY2_ROOT", str(tmp_path))
     return tmp_path
+
+
+@pytest.fixture()
+def ilsvrc_dir(tmp_path):
+    """Minimal synthetic ILSVRC CLS-LOC tree: 3 synsets × 4 train, 6 val."""
+    import os as _os
+
+    from tests import synthetic
+
+    root = tmp_path / "ILSVRC"
+    synsets = ["n01000001", "n01000002", "n01000003"]
+    train_lines = []
+    for si, syn in enumerate(synsets):
+        for i in range(4):
+            rel = f"{syn}/{syn}_{i}"
+            synthetic.make_image(
+                str(root / "Data" / "CLS-LOC" / "train" / (rel + ".JPEG")),
+                64, 48, seed=si * 10 + i)
+            train_lines.append(f"{rel} {len(train_lines) + 1}")
+    _os.makedirs(root / "ImageSets" / "CLS-LOC", exist_ok=True)
+    (root / "ImageSets" / "CLS-LOC" / "train_cls.txt").write_text(
+        "\n".join(train_lines) + "\n")
+    _os.makedirs(root / "Annotations" / "CLS-LOC" / "val", exist_ok=True)
+    for i in range(6):
+        syn = synsets[i % 3]
+        name = f"ILSVRC2012_val_{i:08d}"
+        synthetic.make_image(
+            str(root / "Data" / "CLS-LOC" / "val" / (name + ".JPEG")),
+            64, 48, seed=100 + i)
+        (root / "Annotations" / "CLS-LOC" / "val" / (name + ".xml")
+         ).write_text(
+            f"<annotation><object><name>{syn}</name></object></annotation>")
+    return str(root)

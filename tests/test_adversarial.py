@@ -4,6 +4,7 @@ match a hand-rolled computation, sign-noise stays in range."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from tensorflow_yolo2_tpu.models.contrast import ContrastInputModel
 from tensorflow_yolo2_tpu.models.zoo import LeNet
@@ -72,3 +73,49 @@ def test_contrast_input_model_forward(rng):
 def test_compare_label_values():
     count, acc = compare_label_values([1, 2, 3, 4], [1, 2, 0, 4])
     assert count == 3 and acc == 0.75
+
+
+def test_transfer_attack_uses_generator_not_classifier(rng):
+    """FGSM against a separate frozen generator must raise the
+    *generator's* loss (reference transfer attack: a pretrained
+    inception_v3 crafts the examples)."""
+    from tensorflow_yolo2_tpu.train.adversarial import make_jitted_attack
+    from tensorflow_yolo2_tpu.models.zoo import CifarNet
+
+    gen = CifarNet(num_classes=4)
+    x = rng.uniform(-0.9, 0.9, (4, 32, 32, 3)).astype(np.float32)
+    labels = np.array([0, 1, 2, 3], np.int32)
+    gvars = gen.init(jax.random.PRNGKey(1), x, train=False)
+    attack = make_jitted_attack(gen, epsilon=0.05)
+    adv = attack(gvars["params"], gvars.get("batch_stats", {}),
+                 jnp.asarray(x), jnp.asarray(labels))
+    loss_fn = make_attack_loss(gen, gvars, labels)
+    assert float(loss_fn(adv)) > float(loss_fn(x))
+    assert float(jnp.max(jnp.abs(adv - jnp.asarray(x)))) <= 0.05 + 1e-6
+
+
+@pytest.mark.slow
+def test_adversarial_entry_with_generator(tmp_root, ilsvrc_dir):
+    """imagenet_train_adversarial end-to-end with --attack-model (separate
+    generator) and the 4 metric streams (train/val × clean/adv)."""
+    from tensorflow_yolo2_tpu.entries import imagenet_train_adversarial
+
+    rc = imagenet_train_adversarial.main([
+        "--backbone", "lenet", "--attack-model", "cifarnet",
+        "--image-size", "32", "--iters", "2", "--batch-size", "2",
+        "--log-every", "1", "--eval-every", "2", "--save-every", "2",
+        "--data-path", ilsvrc_dir, "--compute-dtype", "float32"])
+    assert rc == 0
+    assert (tmp_root / "ckpts" / "lenet_adv" / "ilsvrc_2017_cls" /
+            "train_iter_2").exists()
+    train_events = tmp_root / "tensorboard" / "lenet_adv" / \
+        "ilsvrc_2017_cls" / "train" / "events.jsonl"
+    val_events = tmp_root / "tensorboard" / "lenet_adv" / \
+        "ilsvrc_2017_cls" / "val" / "events.jsonl"
+    assert train_events.exists() and val_events.exists()
+    import json
+    val_rec = [json.loads(line) for line in
+               val_events.read_text().splitlines()]
+    keys = {k for r in val_rec for k in r if k.startswith(("clean/", "adv/"))}
+    assert any(k.startswith("clean/") for k in keys)
+    assert any(k.startswith("adv/") for k in keys)

@@ -1,41 +1,14 @@
 """ILSVRC loader tests on a synthetic ILSVRC directory tree."""
 
-import os
-
 import numpy as np
 import pytest
 
 from tensorflow_yolo2_tpu.data.ilsvrc import IlsvrcCls
 from tensorflow_yolo2_tpu.data.prefetch import PrefetchLoader
-from tests import synthetic
 
 
-@pytest.fixture()
-def ilsvrc_dir(tmp_path):
-    """Minimal ILSVRC CLS-LOC tree: 3 synsets × 4 train images, 6 val."""
-    root = tmp_path / "ILSVRC"
-    synsets = ["n01000001", "n01000002", "n01000003"]
-    train_lines = []
-    for si, syn in enumerate(synsets):
-        for i in range(4):
-            rel = f"{syn}/{syn}_{i}"
-            synthetic.make_image(
-                str(root / "Data" / "CLS-LOC" / "train" / (rel + ".JPEG")),
-                64, 48, seed=si * 10 + i)
-            train_lines.append(f"{rel} {len(train_lines) + 1}")
-    os.makedirs(root / "ImageSets" / "CLS-LOC", exist_ok=True)
-    (root / "ImageSets" / "CLS-LOC" / "train_cls.txt").write_text(
-        "\n".join(train_lines) + "\n")
-    os.makedirs(root / "Annotations" / "CLS-LOC" / "val", exist_ok=True)
-    for i in range(6):
-        syn = synsets[i % 3]
-        name = f"ILSVRC2012_val_{i:08d}"
-        synthetic.make_image(
-            str(root / "Data" / "CLS-LOC" / "val" / (name + ".JPEG")),
-            64, 48, seed=100 + i)
-        (root / "Annotations" / "CLS-LOC" / "val" / (name + ".xml")).write_text(
-            f"<annotation><object><name>{syn}</name></object></annotation>")
-    return str(root)
+# the ilsvrc_dir fixture lives in conftest.py (shared with the
+# adversarial-entry test)
 
 
 def test_train_listing_and_batches(tmp_root, ilsvrc_dir):
