@@ -108,10 +108,18 @@ def run_train_loop(trainer: Trainer, state: TrainState,
     def flush(upto: int) -> None:
         while pending and (len(pending) > upto):
             it, metrics = pending.pop(0)
-            vals = {k: float(np.asarray(v)) for k, v in metrics.items()}
+            vals, hists = {}, {}
+            for k, v in metrics.items():
+                arr = np.asarray(v)
+                (hists if arr.ndim else vals)[k] = arr
             writer.scalars(it, vals)
             if it % log_every == 0:
-                msg = ", ".join(f"{k}: {v:.4f}" for k, v in vals.items())
+                # distribution metrics (reference loss histograms,
+                # net_utils.py:361-370) on the log cadence only
+                for k, arr in hists.items():
+                    writer.histogram(it, k, arr)
+                msg = ", ".join(f"{k}: {float(v):.4f}"
+                                for k, v in vals.items())
                 print(f"iter {it}: {msg}, "
                       f"avg step {timer.average_time * 1000:.1f} ms")
 

@@ -64,7 +64,7 @@ def main(argv: list[str] | None = None) -> int:
         net_name = "darknet19_v2"
     else:
         yolo = YoloConfig()
-        task = yolo_task(yolo)
+        task = yolo_task(yolo, histograms=True)
         model = Darknet19Detector(output_channels=yolo.cell_channels,
                                   dtype=dtype)
         net_name = "darknet19"

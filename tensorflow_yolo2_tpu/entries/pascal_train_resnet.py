@@ -52,7 +52,7 @@ def main(argv: list[str] | None = None) -> int:
     model = ResNet50Detector(output_channels=yolo.cell_channels, S=yolo.S,
                              dtype=dtype)
     trainer = Trainer(
-        model, yolo_task(yolo),
+        model, yolo_task(yolo, histograms=True),
         OptimizerConfig(name="adam",
                         schedule=LRScheduleConfig(learning_rate=lr)),
         mesh=make_mesh_for_batch(batch_size))

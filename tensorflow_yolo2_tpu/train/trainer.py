@@ -56,8 +56,13 @@ class TrainState(flax.struct.PyTreeNode):
 # -- task losses ---------------------------------------------------------------
 
 
-def yolo_task(yolo_cfg: YoloConfig) -> Callable:
-    """Detection task: YOLO grid loss + per-term metrics."""
+def yolo_task(yolo_cfg: YoloConfig, histograms: bool = False) -> Callable:
+    """Detection task: YOLO grid loss + per-term metrics.
+
+    ``histograms=True`` additionally emits array-valued ``hist/*``
+    metrics (IoU and predicted-confidence distributions — the loss-side
+    TB histograms of reference net_utils.py:361-370); the train loop
+    routes those to the metric writer's histogram channel."""
 
     def task(outputs: jnp.ndarray, labels: jnp.ndarray):
         total, aux = yolo_loss(outputs, labels, yolo_cfg)
@@ -70,6 +75,10 @@ def yolo_task(yolo_cfg: YoloConfig) -> Callable:
             "mean_iou": jnp.sum(aux.ious * aux.object_mask) /
             jnp.maximum(jnp.sum(aux.object_mask), 1.0),
         }
+        if histograms:
+            C = yolo_cfg.num_class
+            metrics["hist/iou"] = aux.ious
+            metrics["hist/confidence"] = outputs[..., C:C + yolo_cfg.B]
         return total, metrics
 
     return task

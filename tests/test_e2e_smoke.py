@@ -48,11 +48,19 @@ def test_pascal_train_then_detect_end_to_end(tmp_root):
                              n_images=3)
     rc = pascal_train_darknet.main([
         "--iters", "2", "--batch-size", "2", "--num-workers", "1",
-        "--save-every", "2", "--data-path", voc,
+        "--save-every", "2", "--log-every", "1", "--data-path", voc,
         "--compute-dtype", "float32"])
     assert rc == 0
     assert (tmp_root / "ckpts" / "darknet19" / "voc_2007" /
             "train_iter_2").exists()
+    # the loss-side distribution metrics (reference net_utils.py:361-370
+    # histograms) reach the event log
+    import json
+    events = tmp_root / "tensorboard" / "darknet19" / "voc_2007" / \
+        "train" / "events.jsonl"
+    recs = [json.loads(line) for line in events.read_text().splitlines()]
+    hists = {r["hist"] for r in recs if "hist" in r}
+    assert "hist/iou" in hists and "hist/confidence" in hists
 
     image = os.path.join(voc, "JPEGImages", "000000.jpg")
     out_path = str(tmp_root / "out.png")
