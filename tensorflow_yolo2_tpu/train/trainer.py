@@ -211,6 +211,9 @@ class Trainer:
 
             grads, (new_stats, metrics) = jax.grad(
                 loss_fn, has_aux=True)(state.params)
+            # gradient summary (slim's gradient histograms/norms,
+            # train_image_classifier.py:489-503) — one fused reduction
+            metrics["grad_norm"] = optax.global_norm(grads)
             updates, new_opt = tx.update(grads, state.opt_state, state.params)
             params = optax.apply_updates(state.params, updates)
             ema = (self._ema(state.ema_params, params)

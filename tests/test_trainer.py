@@ -56,6 +56,8 @@ def test_yolo_train_step_descends(rng):
     assert all(np.isfinite(losses))
     assert losses[-1] < losses[0]
     assert int(state.step) == 6
+    # gradient summary (slim train_image_classifier.py:489-503 capability)
+    assert float(metrics["grad_norm"]) > 0
 
 
 def test_batch_is_sharded_over_data_axis(rng):
