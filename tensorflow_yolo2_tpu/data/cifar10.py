@@ -19,6 +19,7 @@ from typing import Any
 import numpy as np
 
 from tensorflow_yolo2_tpu.config import Paths
+from tensorflow_yolo2_tpu.data.memory import InMemoryImdb
 
 _DEFAULT_CLASSES = ("airplane", "automobile", "bird", "cat", "deer",
                     "dog", "frog", "horse", "ship", "truck")
@@ -61,7 +62,7 @@ def read_binary_batches(data_path: str, split: str):
     return np.concatenate(images), np.concatenate(labels), _DEFAULT_CLASSES
 
 
-class Cifar10:
+class Cifar10(InMemoryImdb):
     """CIFAR-10 imdb: 32×32×3 RGB images scaled to [-1, 1]."""
 
     def __init__(self, split: str = "train", batch_size: int = 32,
@@ -77,8 +78,6 @@ class Cifar10:
                                                    "cifar10")
         self.batch_size = batch_size
         self.image_size = 32
-        self.epoch = 1
-        self.cursor = 0
 
         if os.path.exists(os.path.join(self.data_path, "data_batch_1")) or \
                 os.path.exists(os.path.join(self.data_path, "test_batch")):
@@ -89,21 +88,4 @@ class Cifar10:
         self.num_class = len(names)
         self._images = images
         self._labels = labels
-        self._rng = np.random.RandomState(seed)
-        self._order = self._rng.permutation(len(self._labels))
-
-    @property
-    def total_batch(self) -> int:
-        return max(1, len(self._labels) // self.batch_size)
-
-    def get(self) -> tuple[np.ndarray, np.ndarray]:
-        idx = []
-        for _ in range(self.batch_size):
-            idx.append(self._order[self.cursor])
-            self.cursor += 1
-            if self.cursor >= len(self._order):
-                self._order = self._rng.permutation(len(self._labels))
-                self.cursor = 0
-                self.epoch += 1
-        images = self._images[idx].astype(np.float32) / 255.0 * 2.0 - 1.0
-        return images, self._labels[idx]
+        self._init_order(seed)

@@ -19,6 +19,7 @@ from typing import Any
 import numpy as np
 
 from tensorflow_yolo2_tpu.config import Paths
+from tensorflow_yolo2_tpu.data.memory import InMemoryImdb
 
 _CLASS_NAMES = ("zero", "one", "two", "three", "four",
                 "five", "six", "seven", "eight", "nine")
@@ -55,7 +56,7 @@ def read_idx_labels(path: str) -> np.ndarray:
     return data
 
 
-class MNIST:
+class MNIST(InMemoryImdb):
     """MNIST imdb: 28×28×1 digits, values scaled to [-1, 1]."""
 
     def __init__(self, split: str = "train", batch_size: int = 32,
@@ -73,8 +74,6 @@ class MNIST:
         self.image_size = 28
         self.classes = _CLASS_NAMES
         self.num_class = 10
-        self.epoch = 1
-        self.cursor = 0
 
         img_file, lbl_file = _SPLIT_FILES[split]
         images = read_idx_images(os.path.join(self.data_path, img_file))
@@ -84,21 +83,4 @@ class MNIST:
                 f"image/label count mismatch: {len(images)} vs {len(labels)}")
         self._images = images[..., None]  # N,28,28,1
         self._labels = labels.astype(np.int32)
-        self._rng = np.random.RandomState(seed)
-        self._order = self._rng.permutation(len(self._labels))
-
-    @property
-    def total_batch(self) -> int:
-        return max(1, len(self._labels) // self.batch_size)
-
-    def get(self) -> tuple[np.ndarray, np.ndarray]:
-        idx = []
-        for _ in range(self.batch_size):
-            idx.append(self._order[self.cursor])
-            self.cursor += 1
-            if self.cursor >= len(self._order):
-                self._order = self._rng.permutation(len(self._labels))
-                self.cursor = 0
-                self.epoch += 1
-        images = self._images[idx].astype(np.float32) / 255.0 * 2.0 - 1.0
-        return images, self._labels[idx]
+        self._init_order(seed)

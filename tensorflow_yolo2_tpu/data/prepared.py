@@ -20,6 +20,8 @@ from typing import Any
 import cv2
 import numpy as np
 
+from tensorflow_yolo2_tpu.data.memory import InMemoryImdb
+
 
 def convert_image_directory(data_dir: str, out_dir: str,
                             image_size: int = 224,
@@ -64,7 +66,7 @@ def convert_image_directory(data_dir: str, out_dir: str,
     return manifest
 
 
-class PreparedDataset:
+class PreparedDataset(InMemoryImdb):
     """imdb over converted shards (uniform get/classes/... interface).
 
     Images come back float32 in [-1, 1] (the repo convention)."""
@@ -78,30 +80,11 @@ class PreparedDataset:
         self.num_class = len(self.classes)
         self.image_size = manifest["image_size"]
         self.batch_size = batch_size
-        self.epoch = 1
         arrays = [np.load(os.path.join(out_dir, s)) for s in
                   manifest["shards"]]
         self._images = np.concatenate([a["images"] for a in arrays])
         self._labels = np.concatenate([a["labels"] for a in arrays])
-        self._rng = np.random.RandomState(seed)
-        self._order = self._rng.permutation(len(self._labels))
-        self.cursor = 0
-
-    @property
-    def total_batch(self) -> int:
-        return max(1, len(self._labels) // self.batch_size)
-
-    def get(self) -> tuple[np.ndarray, np.ndarray]:
-        idx = []
-        for _ in range(self.batch_size):
-            idx.append(self._order[self.cursor])
-            self.cursor += 1
-            if self.cursor >= len(self._order):
-                self._order = self._rng.permutation(len(self._labels))
-                self.cursor = 0
-                self.epoch += 1
-        images = self._images[idx].astype(np.float32) / 255.0 * 2.0 - 1.0
-        return images, self._labels[idx]
+        self._init_order(seed)
 
 
 def main(argv: list[str] | None = None) -> int:

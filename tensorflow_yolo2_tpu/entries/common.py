@@ -110,15 +110,17 @@ def run_train_loop(trainer: Trainer, state: TrainState,
             it, metrics = pending.pop(0)
             vals, hists = {}, {}
             for k, v in metrics.items():
-                arr = np.asarray(v)
-                (hists if arr.ndim else vals)[k] = arr
-            writer.scalars(it, vals)
+                # route on ndim (no device fetch); array-valued metrics
+                # are only materialized on the log cadence below
+                (hists if getattr(v, "ndim", 0) else vals)[k] = v
+            writer.scalars(it, {k: float(np.asarray(v))
+                                for k, v in vals.items()})
             if it % log_every == 0:
                 # distribution metrics (reference loss histograms,
                 # net_utils.py:361-370) on the log cadence only
                 for k, arr in hists.items():
-                    writer.histogram(it, k, arr)
-                msg = ", ".join(f"{k}: {float(v):.4f}"
+                    writer.histogram(it, k, np.asarray(arr))
+                msg = ", ".join(f"{k}: {float(np.asarray(v)):.4f}"
                                 for k, v in vals.items())
                 print(f"iter {it}: {msg}, "
                       f"avg step {timer.average_time * 1000:.1f} ms")

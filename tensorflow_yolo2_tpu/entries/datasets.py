@@ -13,8 +13,10 @@ from typing import Any
 
 import numpy as np
 
+from tensorflow_yolo2_tpu.data.memory import InMemoryImdb
 
-class SyntheticClassification:
+
+class SyntheticClassification(InMemoryImdb):
     """In-memory random classification imdb (smoke/e2e fixture)."""
 
     def __init__(self, split: str = "train", batch_size: int = 32,
@@ -29,21 +31,7 @@ class SyntheticClassification:
         self._images = rng.uniform(-1, 1, (size, image_size, image_size, 3)
                                    ).astype(np.float32)
         self._labels = rng.randint(0, num_class, size).astype(np.int32)
-        self.cursor = 0
-        self.epoch = 1
-
-    @property
-    def total_batch(self) -> int:
-        return max(1, len(self._labels) // self.batch_size)
-
-    def get(self):
-        idx = np.arange(self.cursor, self.cursor + self.batch_size) % len(
-            self._labels)
-        self.cursor += self.batch_size
-        if self.cursor >= len(self._labels):
-            self.cursor = 0
-            self.epoch += 1
-        return self._images[idx], self._labels[idx]
+        self._init_order(seed)
 
 
 def get_dataset(name: str, split: str = "train", **kwargs: Any):

@@ -85,8 +85,11 @@ def main(argv: list[str] | None = None) -> int:
     imdb = IlsvrcCls("train", batch_size=batch_size, data_aug=True,
                      random_noise=args.noise_aug, data_path=args.data_path,
                      **size_kw)
-    val_imdb = IlsvrcCls("val", batch_size=batch_size, data_aug=False,
-                         data_path=args.data_path, **size_kw)
+    # val split is only listed/cached when evals are enabled (a train-only
+    # tree with --eval-every 0 must keep working)
+    val_imdb = (IlsvrcCls("val", batch_size=batch_size, data_aug=False,
+                          data_path=args.data_path, **size_kw)
+                if args.eval_every else None)
     try:
         backbone = get_network(args.backbone, num_classes=imdb.num_class,
                                dtype=dtype, global_pool=True)
@@ -188,7 +191,7 @@ def main(argv: list[str] | None = None) -> int:
             writer.scalars(i, vals)
             print(f"iter {i}: " + ", ".join(
                 f"{k}: {v:.4f}" for k, v in vals.items()))
-        if args.eval_every and i % args.eval_every == 0:
+        if val_imdb is not None and i % args.eval_every == 0:
             vx, vy = trainer.put_batch(*val_imdb.get())
             vm = trainer.eval_step(state, vx, vy)
             v_adv = attack_fn(state.params, state.batch_stats, vx, vy)

@@ -65,6 +65,37 @@ def test_cifar10_chw_layout(tmp_path):
     np.testing.assert_array_equal(imdb._images[0, :, :, 0], r_plane)
 
 
+def test_inmemory_imdb_thread_safety(tmp_path):
+    """PrefetchLoader(thread_safe=True) contract: concurrent get() calls
+    must neither crash nor lose/duplicate samples within an epoch."""
+    import threading
+
+    root = synthetic.make_mnist(str(tmp_path), n_train=64, n_test=4)
+    imdb = MNIST("train", batch_size=4, data_path=root)
+    out, errors = [], []
+
+    def worker():
+        try:
+            for _ in range(8):
+                out.append(imdb.get())
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    labels = np.concatenate([lb for _, lb in out])
+    # 4 threads x 8 gets x batch 4 = 128 samples = exactly 2 epochs of 64:
+    # every example must appear exactly twice
+    assert len(labels) == 128
+    assert imdb.epoch == 3
+    ref = np.sort(np.concatenate([imdb._labels, imdb._labels]))
+    np.testing.assert_array_equal(np.sort(labels), ref)
+
+
 def test_factory_registration(tmp_path):
     mroot = synthetic.make_mnist(str(tmp_path / "mnist"))
     croot = synthetic.make_cifar10(str(tmp_path / "cifar"))
