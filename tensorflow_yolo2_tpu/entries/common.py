@@ -74,8 +74,12 @@ def bootstrap_state(trainer: Trainer, mgr: CheckpointManager,
             params, _ = merge_pytrees(state.params, raw.get("params"))
             stats, _ = merge_pytrees(state.batch_stats,
                                      raw.get("batch_stats", {}))
+            ema = state.ema_params
+            if ema is not None and raw.get("ema_params") is not None:
+                ema, _ = merge_pytrees(ema, raw["ema_params"])
             state = trainer.resume_optimizer(
-                state.replace(params=params, batch_stats=stats))
+                state.replace(params=params, batch_stats=stats,
+                              ema_params=ema))
             step = mgr.latest_step()
             print("Optimizer state in snapshot does not match — restored "
                   "params/stats only, optimizer re-initialized")
@@ -98,12 +102,16 @@ def run_train_loop(trainer: Trainer, state: TrainState,
                    eval_fn: Optional[Callable[[TrainState, int], None]] = None,
                    eval_every: int = 0,
                    trace_dir: Optional[str] = None,
-                   save_step_divisor: int = 1) -> TrainState:
+                   save_step_divisor: int = 1,
+                   save_interval_secs: float = 0) -> TrainState:
     """The hot loop: prefetched host batches → double-buffered device_put →
     donated jitted step. Metrics are fetched with a 1-step lag so logging
     never forces an early device sync."""
+    import time as _time
+
     timer = Timer()
     pending: list[tuple[int, Any]] = []
+    last_save = _time.monotonic()
 
     def flush(upto: int) -> None:
         while pending and (len(pending) > upto):
@@ -143,11 +151,17 @@ def run_train_loop(trainer: Trainer, state: TrainState,
             flush(1)
             if eval_fn is not None and eval_every and i % eval_every == 0:
                 eval_fn(state, i)
-            if save_every and i % save_every == 0:
+            due_every = save_every and i % save_every == 0
+            # slim's time-based checkpointing (save_interval_secs,
+            # train_image_classifier.py:569-580)
+            due_timed = (save_interval_secs and
+                         _time.monotonic() - last_save >= save_interval_secs)
+            if due_every or due_timed:
                 # epoch-interval managers store the epoch number in the
                 # snapshot name (reference train_epoch_N convention), so
                 # the saved step is iters // iters-per-epoch
                 mgr.save(i // save_step_divisor, jax.device_get(state))
+                last_save = _time.monotonic()
                 print(f"Saved snapshot at iter {i} "
                       f"({mgr.interval} {i // save_step_divisor})")
         flush(0)

@@ -25,6 +25,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--dataset-name", default="flowers")
     p.add_argument("--dataset-split-name", default="validation")
     p.add_argument("--max-batches", type=int, default=None)
+    p.add_argument("--use-ema", action="store_true",
+                   help="evaluate the EMA weights from the snapshot "
+                        "(reference eval_image_classifier's "
+                        "moving_average_decay variable restore)")
     args = p.parse_args(argv)
 
     from tensorflow_yolo2_tpu.utils.jaxsetup import enable_compilation_cache
@@ -36,13 +40,22 @@ def main(argv: list[str] | None = None) -> int:
                        batch_size=batch_size, data_path=args.data_path)
     model = get_network(args.model_name, num_classes=imdb.num_class,
                         dtype=dtype)
-    trainer = Trainer(model, softmax_task(),
+    # --use-ema: give the restore target an ema_params slot so the EMA
+    # weights in the snapshot are restored (any decay value works — only
+    # the tree structure matters here)
+    from tensorflow_yolo2_tpu.config import OptimizerConfig
+    opt_cfg = OptimizerConfig(
+        moving_average_decay=0.999 if args.use_ema else None)
+    trainer = Trainer(model, softmax_task(), opt_cfg,
                       mesh=make_mesh_for_batch(batch_size))
     mgr = CheckpointManager(args.model_name, imdb.name, paths=Paths())
     get_batch = getattr(imdb, "get_val", imdb.get)
     sample, _ = get_batch()
     state, step = common.bootstrap_state(trainer, mgr,
                                          jax.random.PRNGKey(0), sample[:1])
+    eval_params = (state.ema_params
+                   if args.use_ema and state.ema_params is not None
+                   else state.params)
 
     @jax.jit
     def topk_correct(state_params, batch_stats, images, labels):
@@ -60,7 +73,7 @@ def main(argv: list[str] | None = None) -> int:
     c1 = c5 = total = 0
     for _ in range(n_batches):
         images, labels = trainer.put_batch(*get_batch())
-        t1, t5 = topk_correct(state.params, state.batch_stats, images,
+        t1, t5 = topk_correct(eval_params, state.batch_stats, images,
                               labels)
         c1 += int(t1)
         c5 += int(t5)

@@ -61,6 +61,9 @@ def add_slim_flags(p) -> None:
                    help="data-parallel width (defaults to all devices)")
     p.add_argument("--model-parallel", type=int, default=1)
     p.add_argument("--warmup-steps", type=int, default=0)
+    p.add_argument("--save-interval-secs", type=float, default=0,
+                   help="additionally snapshot on a wall-clock cadence "
+                        "(slim save_interval_secs)")
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -121,7 +124,8 @@ def main(argv: list[str] | None = None) -> int:
         trainer, state, imdb.get, mgr, writer, start_iter=start,
         num_iters=iters, log_every=args.log_every,
         save_every=args.save_every or max(iters // 4, 1),
-        num_workers=args.num_workers)
+        num_workers=args.num_workers,
+        save_interval_secs=args.save_interval_secs)
     writer.close()
     return 0
 

@@ -110,6 +110,31 @@ def test_train_classifier_entry_synthetic(tmp_root):
 
 
 @pytest.mark.slow
+def test_ema_train_then_eval_ema_weights(tmp_root):
+    """EMA training (--moving-average-decay) + wall-clock snapshots
+    (--save-interval-secs) + EMA-weights evaluation (--use-ema), the
+    slim train/eval EMA path."""
+    from tensorflow_yolo2_tpu.entries import eval_classifier, train_classifier
+
+    rc = train_classifier.main([
+        "--model-name", "lenet", "--dataset-name", "synthetic",
+        "--iters", "3", "--batch-size", "8", "--num-workers", "1",
+        "--optimizer", "sgd", "--learning-rate", "0.01",
+        "--moving-average-decay", "0.9", "--compute-dtype", "float32",
+        "--save-every", "100", "--save-interval-secs", "0.001"])
+    assert rc == 0
+    # the modular cadence (every 100) never fired — only timed saves did
+    assert (tmp_root / "ckpts" / "lenet" / "synthetic_10" /
+            "train_iter_3").exists()
+
+    rc = eval_classifier.main([
+        "--model-name", "lenet", "--dataset-name", "synthetic",
+        "--max-batches", "2", "--batch-size", "8",
+        "--use-ema", "--compute-dtype", "float32"])
+    assert rc == 0
+
+
+@pytest.mark.slow
 def test_train_then_eval_classifier_mnist(tmp_root):
     """scripts/train_lenet_on_mnist.sh capability: train lenet on IDX
     MNIST, then eval the test split from the saved snapshot."""
