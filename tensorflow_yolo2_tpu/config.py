@@ -137,6 +137,20 @@ class YoloConfig:
     def offset(self) -> np.ndarray:
         return yolo_grid_offset(self.S, self.B)
 
+    def at_scale(self, S: int) -> "YoloConfig":
+        """This config re-gridded to an ``S``-cell grid (input = 32·S px).
+
+        Anchor priors are stored in grid-cell units, so they rescale by
+        the grid-size ratio — constant as image fractions, the YOLOv2
+        multiscale property."""
+        if S == self.S:
+            return self
+        factor = S / self.S
+        return dataclasses.replace(
+            self, S=S, image_size=self.image_size * S // self.S,
+            anchors=tuple((round(w * factor, 4), round(h * factor, 4))
+                          for w, h in self.anchors))
+
 
 # ---------------------------------------------------------------------------
 # Training knob surface = union of the hard-coded per-script hypers and the

@@ -147,8 +147,14 @@ class PascalVOC:
         return gt_labels
 
     def load_labels(self) -> list[dict]:
+        # label grids depend on (image_size, S): qualify the cache name for
+        # non-default scales (multiscale training) so grids never collide;
+        # the default keeps the reference filename (pascal_voc.py:90)
+        scale_tag = ("" if (self.image_size, self.cell_size) == (224, 7)
+                     else f"_{self.image_size}x{self.cell_size}")
         cache_file = os.path.join(
-            self.cache_path, f"pascal_{self.image_set}_gt_labels.pkl")
+            self.cache_path,
+            f"pascal_{self.image_set}_gt_labels{scale_tag}.pkl")
         if os.path.isfile(cache_file) and not self.rebuild:
             with open(cache_file, "rb") as f:
                 return pickle.load(f)

@@ -36,7 +36,15 @@ def main(argv: list[str] | None = None) -> int:
                    help="anchor-based YOLOv2 head + loss (per-slot "
                         "classes, 5 classic VOC anchors) instead of the "
                         "reference's YOLOv1 grid head")
+    p.add_argument("--multiscale", default=None,
+                   help="comma-separated input sizes (multiples of 32) to "
+                        "cycle every 10 batches during --v2 training "
+                        "(YOLO9000 multiscale; TPU-friendly static-shape "
+                        "bucketing — one compiled step per size)")
     args = p.parse_args(argv)
+    if args.multiscale and not args.v2:
+        p.error("--multiscale requires --v2 (the anchor loss is "
+                "grid-size polymorphic; the v1 grid loss is fixed S=7)")
 
     from tensorflow_yolo2_tpu.utils.jaxsetup import enable_compilation_cache
     enable_compilation_cache()
@@ -70,6 +78,35 @@ def main(argv: list[str] | None = None) -> int:
         net_name = "darknet19"
     imdb = PascalVOC(args.image_set, batch_size=batch_size, yolo=yolo,
                      flipped=args.flipped, data_path=args.data_path)
+    get_batch = imdb.get
+    if args.multiscale:
+        # YOLO9000 multiscale: every 10 batches hop to a random size from
+        # the list. Each size is a static-shape bucket — its own label
+        # grid (S = size/32) and its own compiled train step; the anchor
+        # task re-grids itself from the label shape (yolo_v2_task).
+        sizes = sorted({int(s) for s in args.multiscale.split(",")})
+        if any(s % 32 for s in sizes):
+            p.error("--multiscale sizes must be multiples of 32")
+        import random as _random
+        import threading as _threading
+
+        imdbs = {
+            s: imdb if s == yolo.image_size else PascalVOC(
+                args.image_set, batch_size=batch_size,
+                yolo=yolo.at_scale(s // 32), flipped=args.flipped,
+                data_path=args.data_path)
+            for s in sizes}
+        ms_rng = _random.Random(args.seed)
+        ms_lock = _threading.Lock()
+        ms_state = {"count": 0, "size": sizes[0]}
+
+        def get_batch():
+            with ms_lock:
+                if ms_state["count"] % 10 == 0:
+                    ms_state["size"] = ms_rng.choice(sizes)
+                ms_state["count"] += 1
+                cur = imdbs[ms_state["size"]]
+            return cur.get()
     paths = Paths()
     trainer = Trainer(
         model, task,
@@ -101,7 +138,7 @@ def main(argv: list[str] | None = None) -> int:
         batch_stats_override=batch_stats_override)
 
     state = common.run_train_loop(
-        trainer, state, imdb.get, mgr, writer,
+        trainer, state, get_batch, mgr, writer,
         start_iter=start, num_iters=iters, log_every=args.log_every,
         save_every=save_every, num_workers=args.num_workers)
     writer.close()

@@ -119,10 +119,16 @@ def yolo_v2_loss(net: jnp.ndarray, labels: jnp.ndarray,
 
 
 def yolo_v2_task(cfg: YoloConfig):
-    """Trainer task wrapper (mirrors trainer.yolo_task)."""
+    """Trainer task wrapper (mirrors trainer.yolo_task).
+
+    Shape-polymorphic over the grid size: the label grid's S selects the
+    matching re-gridded config (``YoloConfig.at_scale``), so one task —
+    and one ``jax.jit``-ed train step per input bucket — serves YOLO9000
+    multiscale training (``pascal_train_darknet --v2 --multiscale``)."""
 
     def task(outputs: jnp.ndarray, labels: jnp.ndarray):
-        total, aux = yolo_v2_loss(outputs, labels, cfg)
+        total, aux = yolo_v2_loss(outputs, labels,
+                                  cfg.at_scale(labels.shape[1]))
         metrics = {
             "loss": total,
             "class_loss": aux.class_loss,

@@ -110,6 +110,29 @@ def test_train_classifier_entry_synthetic(tmp_root):
 
 
 @pytest.mark.slow
+def test_pascal_train_v2_multiscale(tmp_root):
+    """YOLO9000 multiscale training: static-shape buckets (64² → S=2,
+    96² → S=3) cycling through one donated train step per bucket."""
+    from tensorflow_yolo2_tpu.entries import pascal_train_darknet
+
+    voc = synthetic.make_voc(str(tmp_root / "data" / "VOCdevkit"),
+                             n_images=3)
+    rc = pascal_train_darknet.main([
+        "--v2", "--multiscale", "64,96", "--iters", "24",
+        "--batch-size", "2", "--num-workers", "1", "--save-every", "24",
+        "--log-every", "12", "--data-path", voc,
+        "--compute-dtype", "float32"])
+    assert rc == 0
+    assert (tmp_root / "ckpts" / "darknet19_v2" / "voc_2007" /
+            "train_iter_24").exists()
+    # both scale buckets produced label caches
+    assert (tmp_root / "cache" / "pascal_trainval_gt_labels_64x2.pkl"
+            ).exists()
+    assert (tmp_root / "cache" / "pascal_trainval_gt_labels_96x3.pkl"
+            ).exists()
+
+
+@pytest.mark.slow
 def test_ema_train_then_eval_ema_weights(tmp_root):
     """EMA training (--moving-average-decay) + wall-clock snapshots
     (--save-interval-secs) + EMA-weights evaluation (--use-ema), the

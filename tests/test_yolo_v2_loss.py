@@ -129,3 +129,22 @@ def test_task_wrapper_metrics(rng):
     assert set(metrics) == {"loss", "class_loss", "object_loss",
                             "noobject_loss", "coord_loss", "mean_iou"}
     assert np.isfinite(float(total))
+
+
+def test_task_grid_size_polymorphism(rng):
+    """The task re-grids itself from the label shape: applying the S=4
+    task to an S=8 batch must equal yolo_v2_loss at cfg.at_scale(8)
+    (the multiscale-training contract)."""
+    big = CFG.at_scale(8)
+    assert big.image_size == 256
+    # anchors stay constant as image fractions: cell units double
+    np.testing.assert_allclose(
+        np.asarray(big.anchors), np.asarray(CFG.anchors) * 2.0)
+    labels, _, _ = make_label(120, 120, 80, 80, cls=2, cfg=big)
+    net = rng.normal(0, 0.5, (1, big.S, big.S, big.cell_channels)).astype(
+        np.float32)
+    total_task, _ = yolo_v2_task(CFG)(jnp.asarray(net), jnp.asarray(labels))
+    total_direct, _ = yolo_v2_loss(jnp.asarray(net), jnp.asarray(labels), big)
+    np.testing.assert_allclose(float(total_task), float(total_direct),
+                               rtol=1e-6)
+    assert CFG.at_scale(CFG.S) is CFG
