@@ -56,7 +56,8 @@ class PrefetchLoader:
         serializes calls for arbitrary callables."""
         self._get_batch = get_batch
         self._queue: queue.Queue = queue.Queue(maxsize=prefetch_size)
-        self._stop = threading.Event()
+        self._stop = threading.Event()    # no further get_batch() calls
+        self._closed = threading.Event()  # abandon in-flight puts (close())
         self._error: Optional[BaseException] = None
         self._get_lock = (threading.Lock() if not thread_safe
                           else _NullLock())
@@ -75,11 +76,14 @@ class PrefetchLoader:
                     if self._stop.is_set():
                         return
                     batch = self._get_batch()
-            except BaseException as e:  # surface on next __next__
+            except BaseException as e:  # surface after the queue drains
                 self._error = e
                 self._stop.set()
                 return
-            while not self._stop.is_set():
+            # deliver even when another worker stopped the pool (an error
+            # elsewhere must not drop this already-produced batch); only
+            # close() abandons in-flight puts
+            while not self._closed.is_set():
                 try:
                     self._queue.put(batch, timeout=0.1)
                     break
@@ -90,19 +94,33 @@ class PrefetchLoader:
         return self
 
     def __next__(self) -> Any:
+        # drain-first semantics: every batch that reached the queue is
+        # delivered before a stored error / end-of-stream is surfaced
         while True:
-            if self._error is not None:
-                raise self._error
             try:
-                return self._queue.get(timeout=0.1)
+                return self._queue.get(timeout=0.05)
             except queue.Empty:
-                if self._stop.is_set() and self._error is None:
+                if self._stop.is_set() and \
+                        not any(t.is_alive() for t in self._threads):
+                    if self._error is not None and \
+                            not isinstance(self._error, StopIteration):
+                        raise self._error
                     raise StopIteration
                 continue
 
     def close(self) -> None:
         self._stop.set()
-        # drain so workers blocked on put() can exit
+        self._closed.set()
+        # drain so workers blocked on put() can exit, then join them so no
+        # worker keeps consuming the shared imdb cursor after close()
+        try:
+            while True:
+                self._queue.get_nowait()
+        except queue.Empty:
+            pass
+        for t in self._threads:
+            t.join(timeout=5.0)
+        # a worker's final put can land after the drain above
         try:
             while True:
                 self._queue.get_nowait()

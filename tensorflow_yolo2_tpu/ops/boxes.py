@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from tensorflow_yolo2_tpu.config import YoloConfig
+from tensorflow_yolo2_tpu.ops.iou import cxcywh_to_corners as _cxcywh_to_corners
 
 
 class Detections(NamedTuple):
@@ -101,12 +102,6 @@ def grid_to_absolute_v2(raw_boxes: jnp.ndarray, cfg: YoloConfig) -> jnp.ndarray:
     ws = anchors[..., 0] * jnp.exp(tw) / float(S)
     hs = anchors[..., 1] * jnp.exp(th) / float(S)
     return jnp.stack([xs, ys, ws, hs], axis=-1)
-
-
-def _cxcywh_to_corners(b: jnp.ndarray) -> jnp.ndarray:
-    cx, cy, w, h = b[..., 0], b[..., 1], b[..., 2], b[..., 3]
-    return jnp.stack([cx - w / 2.0, cy - h / 2.0, cx + w / 2.0, cy + h / 2.0], axis=-1)
-
 
 def decode_grid(net: jnp.ndarray, cfg: YoloConfig,
                 object_thresh: float = 0.5) -> Detections:

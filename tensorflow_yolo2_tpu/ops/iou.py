@@ -12,8 +12,8 @@ import jax.numpy as jnp
 
 def box_iou(boxes1: jnp.ndarray, boxes2: jnp.ndarray) -> jnp.ndarray:
     """Elementwise IoU of (..., 4) cxcywh boxes; returns (...)."""
-    b1 = _cxcywh_to_corners(boxes1)
-    b2 = _cxcywh_to_corners(boxes2)
+    b1 = cxcywh_to_corners(boxes1)
+    b2 = cxcywh_to_corners(boxes2)
     return corners_iou(b1, b2)
 
 
@@ -34,6 +34,8 @@ def pairwise_corners_iou(b1: jnp.ndarray, b2: jnp.ndarray) -> jnp.ndarray:
     return corners_iou(b1[:, None, :], b2[None, :, :])
 
 
-def _cxcywh_to_corners(b: jnp.ndarray) -> jnp.ndarray:
+def cxcywh_to_corners(b: jnp.ndarray) -> jnp.ndarray:
+    """(..., cx, cy, w, h) -> (..., x1, y1, x2, y2) (shared by decode, IoU,
+    NMS and mAP eval — single definition)."""
     cx, cy, w, h = b[..., 0], b[..., 1], b[..., 2], b[..., 3]
     return jnp.stack([cx - w / 2.0, cy - h / 2.0, cx + w / 2.0, cy + h / 2.0], axis=-1)

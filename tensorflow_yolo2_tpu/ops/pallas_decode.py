@@ -65,6 +65,11 @@ def decode_grid_pallas(net: jnp.ndarray, cfg: YoloConfig,
     Returns dense Detections with leading batch dim:
     boxes (batch, S·S·B, 4), scores/classes (batch, S·S·B).
     """
+    if cfg.per_slot_classes:
+        raise ValueError(
+            "decode_grid_pallas implements the v1 [C | B conf | boxes] "
+            "layout; per-slot (v2 anchor) heads decode via "
+            "ops.boxes.decode_grid_v2")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     S, B, C = cfg.S, cfg.B, cfg.num_class

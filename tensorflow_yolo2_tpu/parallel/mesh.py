@@ -81,6 +81,12 @@ def make_mesh_for_batch(batch_size: int, model: int = 1,
     devices = devices if devices is not None else jax.devices()
     limit = max(1, len(devices) // model)
     data = max(d for d in range(1, limit + 1) if batch_size % d == 0)
+    if data < limit and batch_size > limit:
+        # batch coprime with the device count: this is a silent slowdown,
+        # not a small-batch run — say so instead of idling chips quietly
+        print(f"make_mesh_for_batch: batch {batch_size} only shards over "
+              f"{data}/{limit} devices; pick a batch divisible by {limit} "
+              "to use the full mesh")
     return make_mesh(MeshConfig(data=data, model=model), devices)
 
 

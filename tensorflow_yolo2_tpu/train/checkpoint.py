@@ -33,14 +33,25 @@ import orbax.checkpoint as ocp
 from tensorflow_yolo2_tpu.config import TRAIN_SNAPSHOT_PREFIX, Paths
 
 
+def _path_key(path) -> str:
+    """Render a pytree key path as 'a/b/0/c' regardless of node kind
+    (DictKey .key, GetAttrKey .name, SequenceKey .idx) so dict-keyed
+    Orbax restores intersect attribute-keyed trees (dataclass states)."""
+    parts = []
+    for k in path:
+        for attr in ("key", "name", "idx"):
+            v = getattr(k, attr, None)
+            if v is not None:
+                parts.append(str(v))
+                break
+        else:
+            parts.append(str(k))
+    return "/".join(parts)
+
+
 def _flatten(tree: Any) -> dict[str, Any]:
     flat = jax.tree_util.tree_flatten_with_path(tree)[0]
-    out = {}
-    for path, leaf in flat:
-        key = "/".join(str(getattr(k, "key", getattr(k, "idx", k)))
-                       for k in path)
-        out[key] = leaf
-    return out
+    return {_path_key(path): leaf for path, leaf in flat}
 
 
 def merge_pytrees(init: Any, restored: Any,
@@ -53,12 +64,16 @@ def merge_pytrees(init: Any, restored: Any,
 
     def pick(path, leaf):
         nonlocal count
-        key = "/".join(str(getattr(k, "key", getattr(k, "idx", k)))
-                       for k in path)
+        key = _path_key(path)
         if any(key.startswith(s) for s in exclude_scopes):
             return leaf
+        # non-array init leaves (step counters, hyperparameter scalars)
+        # keep their init value rather than aborting the merge
+        shape = getattr(leaf, "shape", None)
+        if shape is None:
+            return leaf
         cand = restored_flat.get(key)
-        if cand is not None and getattr(cand, "shape", None) == leaf.shape:
+        if cand is not None and getattr(cand, "shape", None) == shape:
             count += 1
             return cand.astype(leaf.dtype) if hasattr(cand, "astype") else cand
         return leaf

@@ -112,3 +112,32 @@ def test_warm_start_from_other_run(tmp_root):
     np.testing.assert_array_equal(merged["backbone"]["conv1"]["kernel"], 5.0)
     np.testing.assert_array_equal(merged["head"]["kernel"], 0.0)
     assert n == 1
+
+
+def test_merge_pytrees_attribute_keyed_target():
+    """A dataclass-structured (attribute-keyed) init tree must intersect
+    a dict-keyed restore (what Orbax restore_raw returns): GetAttrKey
+    path nodes render as plain names, and non-array leaves (step
+    counters) pass through instead of crashing the merge."""
+    import flax.struct
+
+    class S(flax.struct.PyTreeNode):
+        params: dict
+        note: int = flax.struct.field(pytree_node=False, default=0)
+
+    init = S(params={"w": jnp.zeros((2, 2)), "b": jnp.zeros((3,))})
+    restored = {"params": {"w": np.ones((2, 2), np.float32),
+                           "b": np.full((3,), 2.0, np.float32)}}
+    merged, n = merge_pytrees(init, restored)
+    assert n == 2
+    np.testing.assert_array_equal(np.asarray(merged.params["w"]), 1.0)
+    np.testing.assert_array_equal(np.asarray(merged.params["b"]), 2.0)
+
+
+def test_merge_pytrees_scalar_leaves_pass_through():
+    init = {"count": 7, "w": jnp.zeros((2,))}
+    merged, n = merge_pytrees(init, {"count": 99,
+                                     "w": np.ones((2,), np.float32)})
+    assert n == 1
+    assert merged["count"] == 7  # python scalar keeps its init value
+    np.testing.assert_array_equal(np.asarray(merged["w"]), 1.0)

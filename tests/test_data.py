@@ -145,6 +145,73 @@ def test_prefetch_loader_propagates_errors():
     loader.close()
 
 
+def test_prefetch_loader_drains_queue_before_end_of_stream():
+    """A finite stream must deliver every produced batch before
+    StopIteration — no tail batches dropped by the stop flag."""
+    import threading
+
+    lock = threading.Lock()
+    counter = {"n": 0}
+
+    def finite_batch():
+        with lock:
+            if counter["n"] >= 10:
+                raise StopIteration
+            counter["n"] += 1
+            return np.full((1,), counter["n"])
+
+    with PrefetchLoader(finite_batch, num_workers=3,
+                        prefetch_size=8) as loader:
+        got = sorted(int(b[0]) for b in loader)
+    assert got == list(range(1, 11))
+
+
+def test_prefetch_loader_drains_queue_before_error():
+    """Batches already produced are delivered before the stored error."""
+    import threading
+
+    lock = threading.Lock()
+    counter = {"n": 0}
+
+    def flaky_batch():
+        with lock:
+            counter["n"] += 1
+            if counter["n"] == 4:
+                raise RuntimeError("boom")
+            return np.full((1,), counter["n"])
+
+    loader = PrefetchLoader(flaky_batch, num_workers=1, prefetch_size=8)
+    got = []
+    with pytest.raises(RuntimeError, match="boom"):
+        for b in loader:
+            got.append(int(b[0]))
+    loader.close()
+    assert got == [1, 2, 3]
+
+
+def test_prefetch_loader_close_joins_workers():
+    """After close(), no worker keeps consuming the shared source."""
+    import threading
+    import time
+
+    lock = threading.Lock()
+    counter = {"n": 0}
+
+    def get_batch():
+        with lock:
+            counter["n"] += 1
+        time.sleep(0.01)
+        return np.zeros((1,))
+
+    loader = PrefetchLoader(get_batch, num_workers=2, prefetch_size=2)
+    next(loader)
+    loader.close()
+    n_at_close = counter["n"]
+    time.sleep(0.1)
+    assert counter["n"] == n_at_close
+    assert not any(t.is_alive() for t in loader._threads)
+
+
 def test_device_prefetch_orders_and_transfers():
     batches = iter([np.ones((2,)) * i for i in range(5)])
     out = list(device_prefetch(batches, size=2))
