@@ -192,6 +192,10 @@ class OptimizerConfig:
     moving_average_decay: float | None = None
     # Train only variables under these name prefixes (slim --trainable_scopes).
     trainable_scopes: tuple[str, ...] = ()
+    # Accumulate gradients over k micro-batches before applying one
+    # update (effective batch = k × batch) — the HBM-friendly route to
+    # reference-scale global batches on few chips.
+    grad_accum_steps: int = 1
     schedule: LRScheduleConfig = field(default_factory=LRScheduleConfig)
 
 

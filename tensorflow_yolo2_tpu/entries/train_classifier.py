@@ -64,6 +64,9 @@ def add_slim_flags(p) -> None:
     p.add_argument("--save-interval-secs", type=float, default=0,
                    help="additionally snapshot on a wall-clock cadence "
                         "(slim save_interval_secs)")
+    p.add_argument("--grad-accum-steps", type=int, default=1,
+                   help="accumulate gradients over k micro-batches "
+                        "(effective batch = k x batch-size)")
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -91,6 +94,7 @@ def main(argv: list[str] | None = None) -> int:
         weight_decay=args.weight_decay,
         grad_clip_norm=args.clip_gradient_norm,
         moving_average_decay=args.moving_average_decay,
+        grad_accum_steps=args.grad_accum_steps,
         trainable_scopes=tuple(
             s.strip() for s in args.trainable_scopes.split(","))
         if args.trainable_scopes else (),

@@ -121,6 +121,9 @@ def make_optimizer(cfg: OptimizerConfig,
             lambda m: "train" if m else "freeze", mask)
         tx = optax.multi_transform(
             {"train": tx, "freeze": optax.set_to_zero()}, labels)
+    if cfg.grad_accum_steps and cfg.grad_accum_steps > 1:
+        # k micro-batches per update (effective batch = k × batch)
+        tx = optax.MultiSteps(tx, every_k_schedule=cfg.grad_accum_steps)
     return tx
 
 

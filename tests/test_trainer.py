@@ -189,3 +189,32 @@ def test_optimizer_family_builds_and_steps(name):
     grads = {"w": jnp.full((4, 4), 0.1)}
     updates, _ = tx.update(grads, opt_state, params)
     assert np.isfinite(np.asarray(updates["w"])).all()
+
+
+def test_grad_accumulation_applies_every_k(rng):
+    """grad_accum_steps=2: params move only on every 2nd micro-step
+    (optax.MultiSteps), giving effective batch = 2 x batch."""
+    from tensorflow_yolo2_tpu.models.zoo import LeNet
+
+    mesh = make_mesh(MeshConfig(data=8, model=1))
+    trainer = Trainer(
+        LeNet(num_classes=4), softmax_task(),
+        OptimizerConfig(name="sgd", grad_accum_steps=2,
+                        schedule=LRScheduleConfig(learning_rate=0.1)),
+        mesh=mesh)
+    images = rng.normal(0, 1, (8, 28, 28, 3)).astype(np.float32)
+    labels = np.arange(8, dtype=np.int32) % 4
+    state = trainer.create_state(jax.random.PRNGKey(0), images[:1])
+    images_d, labels_d = trainer.put_batch(images, labels)
+
+    def flat(params):
+        return np.concatenate([np.asarray(x).ravel() for x in
+                               jax.tree_util.tree_leaves(params)])
+
+    p0 = flat(state.params)
+    state, _ = trainer.train_step(state, images_d, labels_d)
+    p1 = flat(state.params)
+    np.testing.assert_array_equal(p0, p1)  # accumulating, no update yet
+    state, _ = trainer.train_step(state, images_d, labels_d)
+    p2 = flat(state.params)
+    assert np.abs(p2 - p1).max() > 0  # update applied on the 2nd step
