@@ -94,6 +94,17 @@ TRAIN_SNAPSHOT_PREFIX = "train"
 # ---------------------------------------------------------------------------
 
 
+def scope_matches(key: str, scopes) -> bool:
+    """True when a '/'-joined pytree path lies inside any scope prefix.
+
+    Matching is per path component: 'backbone/conv1' matches
+    'backbone/conv1/kernel' but NOT 'backbone/conv19/kernel' (bare
+    startswith would silently include sibling layers sharing the
+    prefix). Used by trainable-scope masks, grouped optimizers and
+    checkpoint scope exclusions."""
+    return any(key == s or key.startswith(s + "/") for s in scopes)
+
+
 def yolo_grid_offset(S: int, B: int) -> np.ndarray:
     """The [S, S, B] column-index offset grid.
 

@@ -118,7 +118,12 @@ def augment_image(image: np.ndarray, cfg: AugmentConfig,
     too_small = False
     if crop_chance > 0:
         rows, cols, _ = image.shape
-        short_len = rng.randint(size, cfg.rand_crop_upbound)
+        # keep the reference's 292/224 crop-headroom ratio when the target
+        # size exceeds the configured upbound (e.g. 299² or 448² inputs) —
+        # randint(size, upbound) must never see an empty range
+        upbound = max(cfg.rand_crop_upbound,
+                      int(size * cfg.rand_crop_upbound / 224.0))
+        short_len = rng.randint(size, upbound)
         if cols <= rows:
             scaled_cols = short_len
             scaled_rows = int(rows * short_len / float(cols))
@@ -140,7 +145,10 @@ def augment_image(image: np.ndarray, cfg: AugmentConfig,
 
     if cfg.random_noise:
         eps = rng.choice([4, 8, 12, 16]) / 255.0 * 2.0
-        sign = np.sign(np.random.uniform(-1, 1, out.shape)).astype(np.float32)
+        # seed the array draw from the caller's rng: reproducible per
+        # dataset seed, and no shared global-RNG state across workers
+        np_rng = np.random.RandomState(rng.randrange(2**32))
+        sign = np.sign(np_rng.uniform(-1, 1, out.shape)).astype(np.float32)
         out = np.clip(out + eps * sign, -1.0, 1.0)
 
     return out

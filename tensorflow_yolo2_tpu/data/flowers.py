@@ -79,10 +79,13 @@ class TFFlowers:
                 picked.append(entries[cursor])
                 cursor += 1
                 if cursor >= len(entries):
-                    self.rng.shuffle(entries)
-                    cursor = 0
+                    # only the train stream reshuffles on wrap: with
+                    # val_split=0 get_val serves train_list, and shuffling
+                    # it here would corrupt the in-progress train epoch
                     if cursor_attr == "train_cursor":
+                        self.rng.shuffle(entries)
                         self.epoch += 1
+                    cursor = 0
             setattr(self, cursor_attr, cursor)
         images = np.zeros(
             (self.batch_size, self.image_size, self.image_size, 3), np.float32)

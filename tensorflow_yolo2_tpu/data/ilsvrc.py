@@ -26,7 +26,12 @@ import cv2
 import numpy as np
 
 from tensorflow_yolo2_tpu.config import Paths
-from tensorflow_yolo2_tpu.data.augment import AugmentConfig, augment_image, normalize
+from tensorflow_yolo2_tpu.data.augment import (
+    AugmentConfig,
+    augment_image,
+    image_read as aug_image_read,
+    normalize,
+)
 
 
 def _pad_center_resize(image: np.ndarray, size: int) -> np.ndarray:
@@ -117,10 +122,14 @@ class IlsvrcCls:
                     continue
                 tree = ET.parse(os.path.join(ann_dir, fn))
                 obj = tree.find("object")
-                synset = obj.find("name").text
+                name = obj.find("name") if obj is not None else None
+                if name is None or name.text not in self.class_to_ind:
+                    print(f"ilsvrc val: skipping {fn} (no usable "
+                          "<object><name> synset)")
+                    continue
                 imgid = fn[:-4]
                 gt.append((os.path.join(root, imgid + ".JPEG"),
-                           self.class_to_ind[synset]))
+                           self.class_to_ind[name.text]))
         with open(cache_file, "wb") as f:
             pickle.dump(gt, f)
         self.rng.shuffle(gt)
@@ -133,6 +142,10 @@ class IlsvrcCls:
         return max(1, len(self.gt_labels) // self.batch_size)
 
     def image_read(self, path: str) -> np.ndarray:
+        if not self.data_aug and self.resize_policy != "pad":
+            # plain warp path: the fused native resize+swap+normalize
+            # kernel (one pass instead of read→convert→resize→normalize)
+            return aug_image_read(path, self.image_size, rgb=self.rgb)
         image = cv2.imread(path)
         if image is None:
             raise FileNotFoundError(path)
@@ -141,9 +154,7 @@ class IlsvrcCls:
         if self.data_aug:
             return augment_image(image, self.aug_cfg, self.rng,
                                  rgb=self.rgb)
-        if self.resize_policy == "pad":
-            return normalize(_pad_center_resize(image, self.image_size))
-        return normalize(cv2.resize(image, (self.image_size, self.image_size)))
+        return normalize(_pad_center_resize(image, self.image_size))
 
     def _next_entries(self, n: int) -> list[tuple[str, int]]:
         with self._lock:

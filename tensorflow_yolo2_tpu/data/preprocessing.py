@@ -24,10 +24,12 @@ _VGG_MEANS = np.array([123.68, 116.78, 103.94], np.float32)
 
 def _vgg(image: np.ndarray, size: int, train: bool,
          rng: random.Random) -> np.ndarray:
-    """Aspect-preserving resize (short side ∈ [256, 512] train / 256 eval)
-    → random/center crop → RGB mean subtraction."""
+    """Aspect-preserving resize (short side ∈ [256, 512] train / 256 eval
+    at size=224, scaling with size as 8/7·size..16/7·size) → random/center
+    crop → RGB mean subtraction."""
     h, w = image.shape[:2]
-    short = rng.randint(size + 32, size * 2) if train else int(size * 1.15)
+    short = (rng.randint(size * 8 // 7, size * 16 // 7) if train
+             else size * 8 // 7)
     scale = short / min(h, w)
     image = cv2.resize(image, (max(size, int(w * scale)),
                                max(size, int(h * scale))))

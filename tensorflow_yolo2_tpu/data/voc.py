@@ -181,6 +181,9 @@ class PascalVOC:
         """One VOC XML → (S, S, 5+C) grid (reference pascal_voc.py:125-165)."""
         imname = os.path.join(self.data_path, "JPEGImages", index + ".jpg")
         im = cv2.imread(imname)
+        if im is None:
+            raise FileNotFoundError(
+                f"VOC image missing or undecodable: {imname}")
         h_ratio = float(self.image_size) / im.shape[0]
         w_ratio = float(self.image_size) / im.shape[1]
 

@@ -26,7 +26,9 @@ def fold_params(params: Mapping[str, Any], batch_stats: Mapping[str, Any],
     Walks the params tree; any subtree holding both a ``conv`` and a ``bn``
     child (the ConvBN layout, models.layers) is folded into a bare
     ``conv``. Returns a params tree valid for the same module constructed
-    with ``fold_bn=True``.
+    with ``fold_bn=True``. Bias-free convs / gamma-free BN (the inception
+    ConvBNReLU arg-scope) fold with 0/1 defaults — consuming those needs a
+    module that applies conv+bias (the folded conv always carries a bias).
     """
 
     def walk(p: Mapping[str, Any], bs: Mapping[str, Any]) -> dict:
@@ -38,12 +40,21 @@ def fold_params(params: Mapping[str, Any], batch_stats: Mapping[str, Any],
             if "conv" in sub and "bn" in sub:
                 conv = sub["conv"]
                 bn = sub["bn"]
+                # bias-free convs (use_bias=False) and scale/center-free BN
+                # (inception-family ConvBNReLU) fold with 0/1 defaults
+                bn_bias = bn.get("bias")
+                width = (bn_bias if bn_bias is not None
+                         else conv["kernel"][..., 0, :])
                 stats = bs.get(key, {}).get("bn", {}) if bs else {}
-                mean = stats.get("mean", jnp.zeros_like(bn["bias"]))
-                var = stats.get("var", jnp.ones_like(bn["bias"]))
-                scale = bn["scale"] / jnp.sqrt(var + epsilon)
+                mean = stats.get("mean", jnp.zeros_like(width))
+                var = stats.get("var", jnp.ones_like(width))
+                gamma = bn.get("scale", jnp.ones_like(mean))
+                beta = (bn_bias if bn_bias is not None
+                        else jnp.zeros_like(mean))
+                conv_bias = conv.get("bias", jnp.zeros_like(mean))
+                scale = gamma / jnp.sqrt(var + epsilon)
                 kernel = conv["kernel"] * scale  # HWIO: broadcasts over O
-                bias = (conv["bias"] - mean) * scale + bn["bias"]
+                bias = (conv_bias - mean) * scale + beta
                 out[key] = {"conv": {"kernel": kernel, "bias": bias}}
             else:
                 out[key] = walk(sub, bs.get(key, {}) if bs else {})

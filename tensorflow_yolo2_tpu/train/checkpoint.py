@@ -30,7 +30,11 @@ from typing import Any
 import jax
 import orbax.checkpoint as ocp
 
-from tensorflow_yolo2_tpu.config import TRAIN_SNAPSHOT_PREFIX, Paths
+from tensorflow_yolo2_tpu.config import (
+    TRAIN_SNAPSHOT_PREFIX,
+    Paths,
+    scope_matches,
+)
 
 
 def _path_key(path) -> str:
@@ -65,7 +69,7 @@ def merge_pytrees(init: Any, restored: Any,
     def pick(path, leaf):
         nonlocal count
         key = _path_key(path)
-        if any(key.startswith(s) for s in exclude_scopes):
+        if scope_matches(key, exclude_scopes):
             return leaf
         # non-array init leaves (step counters, hyperparameter scalars)
         # keep their init value rather than aborting the merge

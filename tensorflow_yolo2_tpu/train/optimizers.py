@@ -20,7 +20,7 @@ from typing import Any, Callable
 import jax
 import optax
 
-from tensorflow_yolo2_tpu.config import LRScheduleConfig, OptimizerConfig
+from tensorflow_yolo2_tpu.config import scope_matches, LRScheduleConfig, OptimizerConfig
 
 
 def make_schedule(cfg: LRScheduleConfig) -> optax.Schedule:
@@ -95,7 +95,7 @@ def trainable_mask(params: Any, scopes: tuple[str, ...]) -> Any:
 
     def check(path, _):
         name = "/".join(str(getattr(k, "key", k)) for k in path)
-        return any(name.startswith(s) for s in scopes)
+        return scope_matches(name, scopes)
 
     return jax.tree_util.tree_map_with_path(check, params)
 
@@ -151,7 +151,7 @@ def make_grouped_optimizer(
     def label(path, _):
         name = "/".join(str(getattr(k, "key", k)) for k in path)
         for i, (scopes, _) in enumerate(groups):
-            if any(name.startswith(s) for s in scopes):
+            if scope_matches(name, scopes):
                 return f"group{i}"
         return "rest"
 

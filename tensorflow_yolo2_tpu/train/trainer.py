@@ -216,8 +216,19 @@ class Trainer:
             metrics["grad_norm"] = optax.global_norm(grads)
             updates, new_opt = tx.update(grads, state.opt_state, state.params)
             params = optax.apply_updates(state.params, updates)
-            ema = (self._ema(state.ema_params, params)
-                   if self._ema else state.ema_params)
+            if self._ema:
+                ema = self._ema(state.ema_params, params)
+                if isinstance(new_opt, optax.MultiStepsState):
+                    # under gradient accumulation the EMA advances only on
+                    # micro-steps where MultiSteps applied an update
+                    # (mini_step wrapped to 0) — otherwise the decay would
+                    # compound k times per real parameter update
+                    applied = new_opt.mini_step == 0
+                    ema = jax.tree_util.tree_map(
+                        lambda e, n: jnp.where(applied, n, e),
+                        state.ema_params, ema)
+            else:
+                ema = state.ema_params
             new_state = state.replace(
                 step=state.step + 1, params=params, batch_stats=new_stats,
                 opt_state=new_opt, ema_params=ema, rng=next_rng)

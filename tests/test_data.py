@@ -217,3 +217,44 @@ def test_device_prefetch_orders_and_transfers():
     out = list(device_prefetch(batches, size=2))
     assert len(out) == 5
     assert [float(b[0]) for b in out] == [0, 1, 2, 3, 4]
+
+
+def test_augment_large_image_sizes(rng):
+    """image_size > rand_crop_upbound (299²/448² inputs) must not crash:
+    the crop headroom scales with the target size."""
+    import random
+
+    from tensorflow_yolo2_tpu.data.augment import AugmentConfig, augment_image
+
+    image = (rng.uniform(0, 255, (500, 620, 3))).astype(np.uint8)
+    for size in (299, 448):
+        out = augment_image(image, AugmentConfig(image_size=size),
+                            random.Random(0))
+        assert out.shape == (size, size, 3)
+
+
+def test_random_noise_seed_reproducible(rng):
+    import random
+
+    from tensorflow_yolo2_tpu.data.augment import AugmentConfig, augment_image
+
+    image = (rng.uniform(0, 255, (64, 64, 3))).astype(np.uint8)
+    cfg = AugmentConfig(image_size=32, flip=False, rotate=False,
+                        color_pert=False, exposure_shift=False,
+                        random_crop=False, random_noise=True)
+    a = augment_image(image, cfg, random.Random(7))
+    b = augment_image(image, cfg, random.Random(7))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_flowers_val_wrap_does_not_corrupt_train_order(tmp_path):
+    from tests import synthetic
+
+    root = synthetic.make_flowers(str(tmp_path / "f"), per_class=3)
+    imdb = TFFlowers(batch_size=4, image_size=32, val_split=0.0,
+                     data_path=root)
+    assert not imdb.val_list  # falls back to train_list
+    order_before = list(imdb.train_list)
+    for _ in range(4):  # wraps the 9-entry list
+        imdb.get_val()
+    assert imdb.train_list == order_before

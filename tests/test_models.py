@@ -105,3 +105,32 @@ def test_detector_output_is_float32_under_bf16_compute():
     assert y.dtype == jnp.float32
     leaves = jax.tree_util.tree_leaves(params["params"])
     assert all(l.dtype == jnp.float32 for l in leaves)
+
+
+def test_fold_params_handles_biasfree_scalefree_bn(rng):
+    """Folding the inception ConvBNReLU layout (use_bias=False,
+    use_scale=False) must not crash, and the folded conv+bias must
+    reproduce the eval-mode conv→BN output."""
+    import jax
+    import jax.numpy as jnp
+
+    from tensorflow_yolo2_tpu.models.fold import fold_params
+    from tensorflow_yolo2_tpu.models.inception import ConvBNReLU
+
+    x = rng.normal(0, 1, (1, 8, 8, 3)).astype(np.float32)
+    m = ConvBNReLU(4)
+    variables = m.init(jax.random.PRNGKey(0), x, train=False)
+    # give the BN stats non-trivial values
+    variables = jax.tree_util.tree_map(lambda v: v, variables)
+    stats = {"bn": {"mean": jnp.asarray(rng.normal(0, 0.3, 4), jnp.float32),
+                    "var": jnp.asarray(rng.uniform(0.5, 2, 4), jnp.float32)}}
+    wrapped_p = {"layer": variables["params"]}
+    wrapped_s = {"layer": stats}
+    folded = fold_params(wrapped_p, wrapped_s)["layer"]["conv"]
+    ref = m.apply({"params": variables["params"], "batch_stats": stats},
+                  x, train=False)
+    out = jax.lax.conv_general_dilated(
+        jnp.asarray(x), folded["kernel"], (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + folded["bias"]
+    np.testing.assert_allclose(np.asarray(jax.nn.relu(out)), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)

@@ -218,3 +218,43 @@ def test_grad_accumulation_applies_every_k(rng):
     state, _ = trainer.train_step(state, images_d, labels_d)
     p2 = flat(state.params)
     assert np.abs(p2 - p1).max() > 0  # update applied on the 2nd step
+
+
+def test_trainable_scope_component_boundary():
+    """'backbone/conv1' must not freeze-exempt sibling conv10..conv19."""
+    params = {"backbone": {"conv1": {"kernel": np.zeros(2)},
+                           "conv19": {"kernel": np.zeros(2)}},
+              "conv1x": {"kernel": np.zeros(2)}}
+    mask = trainable_mask(params, ("backbone/conv1",))
+    assert mask["backbone"]["conv1"]["kernel"] is True
+    assert mask["backbone"]["conv19"]["kernel"] is False
+    assert mask["conv1x"]["kernel"] is False
+
+
+def test_ema_decays_once_per_accumulated_update(rng):
+    """With grad_accum_steps=2 and EMA, the decay applies once per real
+    update, not once per micro-step."""
+    from tensorflow_yolo2_tpu.models.zoo import LeNet
+
+    mesh = make_mesh(MeshConfig(data=8, model=1))
+    trainer = Trainer(
+        LeNet(num_classes=4), softmax_task(),
+        OptimizerConfig(name="sgd", grad_accum_steps=2,
+                        moving_average_decay=0.5,
+                        schedule=LRScheduleConfig(learning_rate=0.1)),
+        mesh=mesh)
+    images = rng.normal(0, 1, (8, 28, 28, 3)).astype(np.float32)
+    labels = np.arange(8, dtype=np.int32) % 4
+    state = trainer.create_state(jax.random.PRNGKey(0), images[:1])
+    di, dl = trainer.put_batch(images, labels)
+
+    k0 = np.asarray(state.params["fc4"]["kernel"])
+    state, _ = trainer.train_step(state, di, dl)  # accumulate only
+    np.testing.assert_array_equal(
+        np.asarray(state.ema_params["fc4"]["kernel"]), k0)
+    state, _ = trainer.train_step(state, di, dl)  # update applied
+    p2 = np.asarray(state.params["fc4"]["kernel"])
+    expect = 0.5 * k0 + 0.5 * p2
+    np.testing.assert_allclose(
+        np.asarray(state.ema_params["fc4"]["kernel"]), expect,
+        rtol=1e-5, atol=1e-7)
