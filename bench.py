@@ -130,10 +130,13 @@ def measure_tf_cpu_baseline() -> float:
                                        (k, k, x.shape[-1], f)), tf.float32)
             b = tf.constant(np.full(f, 0.1, np.float32))
             x = tf.nn.conv2d(x, w, 1, "SAME") + b
-            mean, var = tf.nn.moments(x, [0, 1, 2])
-            x = tf.nn.batch_normalization(
-                x, tf.stop_gradient(mean), tf.stop_gradient(var),
-                None, None, 1e-3)
+            # inference-mode BN: frozen moving statistics (an elementwise
+            # rescale), exactly what the reference's is_training=False
+            # graph executes — computing live moments here would deflate
+            # the baseline with work the reference never does at serving
+            mean = tf.constant(rng.normal(0, 0.1, f), tf.float32)
+            var = tf.constant(rng.uniform(0.8, 1.2, f), tf.float32)
+            x = tf.nn.batch_normalization(x, mean, var, None, None, 1e-3)
             x = tf.maximum(0.1 * x, x)
         return x
 

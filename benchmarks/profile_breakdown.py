@@ -67,10 +67,7 @@ def main() -> None:
                               dtype=jnp.bfloat16)
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
                            train=False)
-    folded = {"backbone": fold_params(variables["params"],
-                                      variables["batch_stats"])["backbone"],
-              "detection": fold_params(variables["params"],
-                                       variables["batch_stats"])["detection"]}
+    folded = fold_params(variables["params"], variables["batch_stats"])
     fmodel = Darknet19Detector(output_channels=yolo.cell_channels,
                                fold_bn=True, dtype=jnp.bfloat16)
     x = jax.device_put(jnp.asarray(

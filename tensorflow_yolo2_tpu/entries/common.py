@@ -112,6 +112,7 @@ def run_train_loop(trainer: Trainer, state: TrainState,
     timer = Timer()
     pending: list[tuple[int, Any]] = []
     last_save = _time.monotonic()
+    last_saved_iter = start_iter
 
     def flush(upto: int) -> None:
         while pending and (len(pending) > upto):
@@ -162,9 +163,17 @@ def run_train_loop(trainer: Trainer, state: TrainState,
                 # the saved step is iters // iters-per-epoch
                 mgr.save(i // save_step_divisor, jax.device_get(state))
                 last_save = _time.monotonic()
+                last_saved_iter = i
                 print(f"Saved snapshot at iter {i} "
                       f"({mgr.interval} {i // save_step_divisor})")
         flush(0)
+    final = start_iter + num_iters
+    if num_iters > 0 and last_saved_iter != final:
+        # exit off the save cadence: snapshot the tail so no training is
+        # silently discarded (slim's supervisor saves on exit too)
+        mgr.save(final // save_step_divisor, jax.device_get(state))
+        print(f"Saved final snapshot at iter {final} "
+              f"({mgr.interval} {final // save_step_divisor})")
     return state
 
 

@@ -48,6 +48,8 @@ def get_dataset(name: str, split: str = "train", **kwargs: Any):
     if name in ("imagenet", "ilsvrc", "ilsvrc_2017_cls"):
         from tensorflow_yolo2_tpu.data.ilsvrc import IlsvrcCls
 
+        if split in ("validation", "test"):  # slim's canonical split name
+            split = "val"
         return IlsvrcCls(split, batch_size=kwargs.get("batch_size", 48),
                          data_path=kwargs.get("data_path"),
                          data_aug=split == "train")

@@ -48,11 +48,21 @@ def main(argv: list[str] | None = None) -> int:
         moving_average_decay=0.999 if args.use_ema else None)
     trainer = Trainer(model, softmax_task(), opt_cfg,
                       mesh=make_mesh_for_batch(batch_size))
+    # trainers snapshot under either the iter or the epoch namespace
+    # (imagenet entries use train_epoch_N) — evaluate whichever exists
     mgr = CheckpointManager(args.model_name, imdb.name, paths=Paths())
+    if mgr.latest_step() is None:
+        epoch_mgr = CheckpointManager(args.model_name, imdb.name,
+                                      save_by_epoch=True, paths=Paths())
+        if epoch_mgr.latest_step() is not None:
+            mgr = epoch_mgr
     get_batch = getattr(imdb, "get_val", imdb.get)
     sample, _ = get_batch()
     state, step = common.bootstrap_state(trainer, mgr,
                                          jax.random.PRNGKey(0), sample[:1])
+    if step == 0 and mgr.latest_step() is None:
+        print("WARNING: no snapshot found under "
+              f"{mgr.dir} — evaluating freshly-initialized weights")
     eval_params = (state.ema_params
                    if args.use_ema and state.ema_params is not None
                    else state.params)
@@ -69,7 +79,13 @@ def main(argv: list[str] | None = None) -> int:
         top5 = (topk == labels[:, None]).any(-1).sum()
         return top1, top5
 
-    n_batches = args.max_batches or imdb.total_batch
+    # one pass over the split actually being served: total_batch counts
+    # the TRAIN list; when get_val serves a separate val list, size the
+    # default pass from that list instead
+    val_list = getattr(imdb, "val_list", None)
+    split_batches = (max(1, len(val_list) // batch_size) if val_list
+                     else imdb.total_batch)
+    n_batches = args.max_batches or split_batches
     c1 = c5 = total = 0
     for _ in range(n_batches):
         images, labels = trainer.put_batch(*get_batch())

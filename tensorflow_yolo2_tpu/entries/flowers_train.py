@@ -69,7 +69,8 @@ def main(argv: list[str] | None = None) -> int:
         trainer, state, imdb.get_train, mgr, writer,
         start_iter=start, num_iters=iters, log_every=args.log_every,
         save_every=args.save_every or iters, num_workers=args.num_workers,
-        eval_fn=eval_fn, eval_every=args.eval_every)
+        eval_fn=eval_fn, eval_every=args.eval_every,
+        trace_dir=args.profile_dir)
     writer.close()
     val_writer.close()
     return 0

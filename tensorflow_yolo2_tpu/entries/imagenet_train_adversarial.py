@@ -178,33 +178,46 @@ def main(argv: list[str] | None = None) -> int:
             return gen_attack(_gp, _gs, images, labels)
     else:
         attack_fn = make_jitted_attack(model, args.epsilon)
-    for i in range(start + 1, start + iters + 1):
-        images, labels = trainer.put_batch(*imdb.get())
-        state, clean_m, adv_m = adversarial_train_step_pair(
-            trainer, state, images, labels, epsilon=args.epsilon,
-            attack_fn=attack_fn)
-        if i % args.log_every == 0:
-            vals = {f"clean/{k}": float(np.asarray(v))
-                    for k, v in clean_m.items()}
-            vals.update({f"adv/{k}": float(np.asarray(v))
-                         for k, v in adv_m.items()})
-            writer.scalars(i, vals)
-            print(f"iter {i}: " + ", ".join(
-                f"{k}: {v:.4f}" for k, v in vals.items()))
-        if val_imdb is not None and i % args.eval_every == 0:
-            vx, vy = trainer.put_batch(*val_imdb.get())
-            vm = trainer.eval_step(state, vx, vy)
-            v_adv = attack_fn(state.params, state.batch_stats, vx, vy)
-            vam = trainer.eval_step(state, v_adv, vy)
-            vvals = {f"clean/{k}": float(np.asarray(v))
-                     for k, v in vm.items()}
-            vvals.update({f"adv/{k}": float(np.asarray(v))
-                          for k, v in vam.items()})
-            val_writer.scalars(i, vvals)
-            print(f"iter {i} [val]: " + ", ".join(
-                f"{k}: {v:.4f}" for k, v in vvals.items()))
-        if args.save_every and i % args.save_every == 0:
-            mgr.save(i, jax.device_get(state))
+
+    from tensorflow_yolo2_tpu.data.prefetch import PrefetchLoader
+
+    save_every = args.save_every or max(iters // 4, 1)
+    last_saved = start
+    # host decode/augment runs in a worker pool so the clean+adv step
+    # pair never stalls on imdb.get() (the reference's #1 perf bug)
+    with PrefetchLoader(imdb.get, num_workers=args.num_workers,
+                        thread_safe=True) as loader:
+        for i in range(start + 1, start + iters + 1):
+            images, labels = trainer.put_batch(*next(loader))
+            state, clean_m, adv_m = adversarial_train_step_pair(
+                trainer, state, images, labels, epsilon=args.epsilon,
+                attack_fn=attack_fn)
+            if i % args.log_every == 0:
+                vals = {f"clean/{k}": float(np.asarray(v))
+                        for k, v in clean_m.items()}
+                vals.update({f"adv/{k}": float(np.asarray(v))
+                             for k, v in adv_m.items()})
+                writer.scalars(i, vals)
+                print(f"iter {i}: " + ", ".join(
+                    f"{k}: {v:.4f}" for k, v in vals.items()))
+            if val_imdb is not None and i % args.eval_every == 0:
+                vx, vy = trainer.put_batch(*val_imdb.get())
+                vm = trainer.eval_step(state, vx, vy)
+                v_adv = attack_fn(state.params, state.batch_stats, vx, vy)
+                vam = trainer.eval_step(state, v_adv, vy)
+                vvals = {f"clean/{k}": float(np.asarray(v))
+                         for k, v in vm.items()}
+                vvals.update({f"adv/{k}": float(np.asarray(v))
+                              for k, v in vam.items()})
+                val_writer.scalars(i, vvals)
+                print(f"iter {i} [val]: " + ", ".join(
+                    f"{k}: {v:.4f}" for k, v in vvals.items()))
+            if i % save_every == 0:
+                mgr.save(i, jax.device_get(state))
+                last_saved = i
+    if iters > 0 and last_saved != start + iters:
+        mgr.save(start + iters, jax.device_get(state))
+        print(f"Saved final snapshot at iter {start + iters}")
     writer.close()
     val_writer.close()
     return 0

@@ -85,7 +85,8 @@ def main(argv: list[str] | None = None) -> int:
         start_iter=last_epoch * total_batch, num_iters=iters,
         log_every=args.log_every, save_every=save_every,
         num_workers=args.num_workers, eval_fn=eval_fn,
-        eval_every=args.eval_every, save_step_divisor=total_batch)
+        eval_every=args.eval_every, save_step_divisor=total_batch,
+        trace_dir=args.profile_dir)
     val_stream.close()
     writer.close()
     val_writer.close()

@@ -39,11 +39,18 @@ def load_detector_params(yolo: YoloConfig, tf_checkpoint: str | None = None,
                          network_name: str = "darknet19",
                          imdb_name: str = "voc_2007"):
     """Resolve weights: explicit TF ckpt → weights/darknet19_pascal.ckpt →
-    newest Orbax snapshot (the reference's fallback order, :50-60)."""
+    newest Orbax snapshot (the reference's fallback order, :50-60).
+
+    The implicit weights/darknet19_pascal.ckpt default only applies to
+    the v1 head it was trained for — a v2 (per-slot) network must not
+    silently shadow its own snapshot with shape-incompatible v1 weights.
+    """
     paths = paths or Paths()
-    tf_path = tf_checkpoint or os.path.join(paths.weights,
-                                            "darknet19_pascal.ckpt")
-    if os.path.exists(tf_path + ".index") or os.path.exists(tf_path):
+    tf_path = tf_checkpoint
+    if tf_path is None and not yolo.per_slot_classes:
+        tf_path = os.path.join(paths.weights, "darknet19_pascal.ckpt")
+    if tf_path is not None and (
+            os.path.exists(tf_path + ".index") or os.path.exists(tf_path)):
         from tensorflow_yolo2_tpu.compat.tf_import import (
             import_darknet19_checkpoint,
         )

@@ -140,7 +140,8 @@ def main(argv: list[str] | None = None) -> int:
     state = common.run_train_loop(
         trainer, state, get_batch, mgr, writer,
         start_iter=start, num_iters=iters, log_every=args.log_every,
-        save_every=save_every, num_workers=args.num_workers)
+        save_every=save_every, num_workers=args.num_workers,
+        trace_dir=args.profile_dir)
     writer.close()
     return 0
 

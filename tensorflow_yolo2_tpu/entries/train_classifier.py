@@ -129,7 +129,8 @@ def main(argv: list[str] | None = None) -> int:
         num_iters=iters, log_every=args.log_every,
         save_every=args.save_every or max(iters // 4, 1),
         num_workers=args.num_workers,
-        save_interval_secs=args.save_interval_secs)
+        save_interval_secs=args.save_interval_secs,
+        trace_dir=args.profile_dir)
     writer.close()
     return 0
 

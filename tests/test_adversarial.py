@@ -102,12 +102,14 @@ def test_adversarial_entry_with_generator(tmp_root, ilsvrc_dir):
 
     rc = imagenet_train_adversarial.main([
         "--backbone", "lenet", "--attack-model", "cifarnet",
-        "--image-size", "32", "--iters", "2", "--batch-size", "2",
+        "--image-size", "32", "--iters", "3", "--batch-size", "2",
         "--log-every", "1", "--eval-every", "2", "--save-every", "2",
         "--data-path", ilsvrc_dir, "--compute-dtype", "float32"])
     assert rc == 0
-    assert (tmp_root / "ckpts" / "lenet_adv" / "ilsvrc_2017_cls" /
-            "train_iter_2").exists()
+    ckpts = tmp_root / "ckpts" / "lenet_adv" / "ilsvrc_2017_cls"
+    assert (ckpts / "train_iter_2").exists()
+    # exit off the save cadence → the tail is snapshotted too
+    assert (ckpts / "train_iter_3").exists()
     train_events = tmp_root / "tensorboard" / "lenet_adv" / \
         "ilsvrc_2017_cls" / "train" / "events.jsonl"
     val_events = tmp_root / "tensorboard" / "lenet_adv" / \

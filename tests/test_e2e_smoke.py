@@ -109,6 +109,24 @@ def test_train_classifier_entry_synthetic(tmp_root):
             "train_iter_3").exists()
 
 
+def test_v2_detect_ignores_implicit_v1_tf_checkpoint(tmp_root):
+    """A v2 (per-slot) detect run must not import the implicit v1 TF
+    checkpoint at weights/darknet19_pascal.ckpt — with no v2 snapshot
+    it should report the missing snapshot, not a TF-import failure."""
+    from tensorflow_yolo2_tpu.config import YoloConfig
+    from tensorflow_yolo2_tpu.entries.pascal_detect_darknet import (
+        load_detector_params,
+    )
+
+    weights = tmp_root / "weights"
+    weights.mkdir(parents=True)
+    (weights / "darknet19_pascal.ckpt.index").write_bytes(b"junk")
+    v2 = YoloConfig(B=5, per_slot_classes=True,
+                    anchors=((1.0, 1.0),) * 5)
+    with pytest.raises(FileNotFoundError):
+        load_detector_params(v2, network_name="darknet19_v2")
+
+
 @pytest.mark.slow
 def test_pascal_train_v2_multiscale(tmp_root):
     """YOLO9000 multiscale training: static-shape buckets (64² → S=2,

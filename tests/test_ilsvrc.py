@@ -74,6 +74,17 @@ def test_imagenet_train_and_test_entries(tmp_root, ilsvrc_dir):
         "--data-path", ilsvrc_dir, "--compute-dtype", "float32"])
     assert rc == 0
 
+    # eval_classifier must find the EPOCH-named snapshot (fallback from
+    # the iter namespace) and accept slim's 'validation' split name
+    from tensorflow_yolo2_tpu.entries import eval_classifier
+
+    rc = eval_classifier.main([
+        "--model-name", "darknet19", "--dataset-name", "imagenet",
+        "--dataset-split-name", "validation", "--data-path", ilsvrc_dir,
+        "--batch-size", "3", "--max-batches", "1",
+        "--compute-dtype", "float32"])
+    assert rc == 0
+
 
 def test_parallel_prefetch_no_drop_no_dup(tmp_root, ilsvrc_dir):
     """thread_safe prefetch over the locked imdb: with one worker the
