@@ -134,3 +134,37 @@ def test_fold_params_handles_biasfree_scalefree_bn(rng):
         dimension_numbers=("NHWC", "HWIO", "NHWC")) + folded["bias"]
     np.testing.assert_allclose(np.asarray(jax.nn.relu(out)), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_fold_params_identity_equivalence(rng):
+    """Identity-BN folding: the SAME module with folded params+stats must
+    reproduce the original eval-mode output — the serving fast path for
+    BN layouts without a fold_bn construction (inception ConvBNReLU),
+    and for ConvBN too."""
+    import jax
+    import jax.numpy as jnp
+
+    from tensorflow_yolo2_tpu.models.fold import fold_params_identity
+    from tensorflow_yolo2_tpu.models.inception import ConvBNReLU
+    from tensorflow_yolo2_tpu.models.layers import ConvBN
+
+    x = rng.normal(0, 1, (2, 8, 8, 3)).astype(np.float32)
+    for module in (ConvBNReLU(4), ConvBN(4)):
+        variables = module.init(jax.random.PRNGKey(0), x, train=False)
+        n = 4
+        stats = {"bn": {
+            "mean": jnp.asarray(rng.normal(0, 0.3, n), jnp.float32),
+            "var": jnp.asarray(rng.uniform(0.5, 2, n), jnp.float32)}}
+        params = {"layer": variables["params"]}
+        ref = module.apply(
+            {"params": variables["params"], "batch_stats": stats},
+            x, train=False)
+        fp, fs = fold_params_identity(params, {"layer": stats})
+        out = module.apply(
+            {"params": fp["layer"], "batch_stats": fs["layer"]},
+            x, train=False)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+        # the folded stats are the identity constants
+        np.testing.assert_allclose(
+            np.asarray(fs["layer"]["bn"]["mean"]), 0.0)
