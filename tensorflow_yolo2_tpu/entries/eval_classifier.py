@@ -8,7 +8,6 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from tensorflow_yolo2_tpu.config import Paths
 from tensorflow_yolo2_tpu.entries import common

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from tensorflow_yolo2_tpu.config import VOC_CLASSES, YoloConfig
+from tensorflow_yolo2_tpu.config import YoloConfig
 from tensorflow_yolo2_tpu.entries import common
 from tensorflow_yolo2_tpu.entries.pascal_detect_darknet import (
     load_detector_params,
