@@ -1,7 +1,7 @@
-"""Training-step throughput: Darknet19 YOLO train step (fwd+bwd+Adam) at
-224², the pascal_train_darknet hot loop. Usage:
+"""Training-step throughput: Darknet19 YOLO train step (fwd+bwd+Adam),
+the pascal_train_darknet hot loop. Usage:
 
-    python benchmarks/train_step.py [batch] [--remat]
+    python benchmarks/train_step.py [batch] [--size N] [--remat]
 """
 
 from __future__ import annotations
@@ -31,8 +31,10 @@ def main() -> None:
     enable_compilation_cache()
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 48
     remat = "--remat" in sys.argv
+    size = (int(sys.argv[sys.argv.index("--size") + 1])
+            if "--size" in sys.argv else 224)
     steps = 12
-    yolo = YoloConfig()
+    yolo = YoloConfig(S=size // 32, image_size=size)
     model = Darknet19Detector(output_channels=yolo.cell_channels,
                               dtype=jnp.bfloat16)
     trainer = Trainer(
@@ -42,10 +44,10 @@ def main() -> None:
         remat=remat)
 
     rng = np.random.RandomState(0)
-    images = rng.uniform(-1, 1, (batch, 224, 224, 3)).astype(np.float32)
+    images = rng.uniform(-1, 1, (batch, size, size, 3)).astype(np.float32)
     labels = np.zeros((batch, yolo.S, yolo.S, 25), np.float32)
     labels[:, 3, 3, 0] = 1
-    labels[:, 3, 3, 1:5] = (112, 112, 60, 40)
+    labels[:, 3, 3, 1:5] = (size / 2, size / 2, size / 4, size / 6)
     labels[:, 3, 3, 5 + 11] = 1
 
     state = trainer.create_state(jax.random.PRNGKey(0), images[:1])
@@ -58,7 +60,7 @@ def main() -> None:
         state, m = trainer.train_step(state, di, dl)
     float(np.asarray(m["loss"]))                  # force the chain
     dt = (time.perf_counter() - t0) / steps
-    print(f"train step 224² batch {batch} remat={remat}: "
+    print(f"train step {size}² batch {batch} remat={remat}: "
           f"{dt * 1e3:.2f} ms/step, {batch / dt:.0f} img/s")
 
 
