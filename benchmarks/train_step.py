@@ -29,10 +29,17 @@ import jax.numpy as jnp
 
 def main() -> None:
     enable_compilation_cache()
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 48
-    remat = "--remat" in sys.argv
-    size = (int(sys.argv[sys.argv.index("--size") + 1])
-            if "--size" in sys.argv else 224)
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("batch", nargs="?", type=int, default=48)
+    ap.add_argument("--size", type=int, default=224,
+                    help="input resolution (multiple of 32, >= 128)")
+    ap.add_argument("--remat", action="store_true")
+    args = ap.parse_args()
+    batch, size, remat = args.batch, args.size, args.remat
+    if size % 32 or size < 128:
+        ap.error("--size must be a multiple of 32 and >= 128")
     steps = 12
     yolo = YoloConfig(S=size // 32, image_size=size)
     model = Darknet19Detector(output_channels=yolo.cell_channels,
@@ -46,9 +53,13 @@ def main() -> None:
     rng = np.random.RandomState(0)
     images = rng.uniform(-1, 1, (batch, size, size, 3)).astype(np.float32)
     labels = np.zeros((batch, yolo.S, yolo.S, 25), np.float32)
-    labels[:, 3, 3, 0] = 1
-    labels[:, 3, 3, 1:5] = (size / 2, size / 2, size / 4, size / 6)
-    labels[:, 3, 3, 5 + 11] = 1
+    # responsible cell derived from the center so the label grid
+    # invariant (cell = center * S / size) holds at every resolution
+    ci = (yolo.S // 2 * 32 + 16) * yolo.S // size
+    labels[:, ci, ci, 0] = 1
+    labels[:, ci, ci, 1:5] = (yolo.S // 2 * 32 + 16,) * 2 + \
+        (size / 4, size / 6)
+    labels[:, ci, ci, 5 + 11] = 1
 
     state = trainer.create_state(jax.random.PRNGKey(0), images[:1])
     di, dl = trainer.put_batch(images, labels)

@@ -19,6 +19,31 @@ from typing import Any, Mapping
 import jax.numpy as jnp
 
 
+def _fold_one(conv: Mapping[str, Any], bn: Mapping[str, Any],
+              stats: Mapping[str, Any], epsilon: float):
+    """Fold one conv→BN pair → (kernel', bias', scale).
+
+    Handles bias-free convs (use_bias=False) and scale/center-free BN
+    (the inception ConvBNReLU arg-scope) with 0/1 defaults. Missing
+    moving statistics default to mean 0 / var 1 per output channel.
+    """
+    width = conv["kernel"].shape[-1]  # output channels
+    dtype = conv["kernel"].dtype
+
+    def default(value):
+        return jnp.full((width,), value, dtype)
+
+    mean = stats.get("mean", default(0.0))
+    var = stats.get("var", default(1.0))
+    gamma = bn.get("scale", default(1.0))
+    beta = bn.get("bias", default(0.0))
+    conv_bias = conv.get("bias", default(0.0))
+    scale = gamma / jnp.sqrt(var + epsilon)
+    kernel = conv["kernel"] * scale  # HWIO: broadcasts over O
+    bias = (conv_bias - mean) * scale + beta
+    return kernel, bias, scale
+
+
 def fold_params(params: Mapping[str, Any], batch_stats: Mapping[str, Any],
                 epsilon: float = 1e-3) -> dict:
     """Fold BN stats into conv weights across a whole variable tree.
@@ -29,6 +54,7 @@ def fold_params(params: Mapping[str, Any], batch_stats: Mapping[str, Any],
     with ``fold_bn=True``. Bias-free convs / gamma-free BN (the inception
     ConvBNReLU arg-scope) fold with 0/1 defaults — consuming those needs a
     module that applies conv+bias (the folded conv always carries a bias).
+    ``epsilon`` must match the module's BN epsilon (ConvBN default 1e-3).
     """
 
     def walk(p: Mapping[str, Any], bs: Mapping[str, Any]) -> dict:
@@ -38,29 +64,25 @@ def fold_params(params: Mapping[str, Any], batch_stats: Mapping[str, Any],
                 out[key] = sub
                 continue
             if "conv" in sub and "bn" in sub:  # the conv→BN child pair
-                conv = sub["conv"]
-                bn = sub["bn"]
-                # bias-free convs (use_bias=False) and scale/center-free BN
-                # (inception-family ConvBNReLU) fold with 0/1 defaults
-                bn_bias = bn.get("bias")
-                width = (bn_bias if bn_bias is not None
-                         else conv["kernel"][..., 0, :])
                 stats = bs.get(key, {}).get("bn", {}) if bs else {}
-                mean = stats.get("mean", jnp.zeros_like(width))
-                var = stats.get("var", jnp.ones_like(width))
-                gamma = bn.get("scale", jnp.ones_like(mean))
-                beta = (bn_bias if bn_bias is not None
-                        else jnp.zeros_like(mean))
-                conv_bias = conv.get("bias", jnp.zeros_like(mean))
-                scale = gamma / jnp.sqrt(var + epsilon)
-                kernel = conv["kernel"] * scale  # HWIO: broadcasts over O
-                bias = (conv_bias - mean) * scale + beta
+                kernel, bias, _ = _fold_one(sub["conv"], sub["bn"], stats,
+                                            epsilon)
                 out[key] = {"conv": {"kernel": kernel, "bias": bias}}
             else:
                 out[key] = walk(sub, bs.get(key, {}) if bs else {})
         return out
 
     return walk(params, batch_stats or {})
+
+
+def _merge_stats(base: Mapping[str, Any], over: Mapping[str, Any]) -> dict:
+    out: dict = dict(base)
+    for k, v in over.items():
+        if isinstance(v, Mapping) and isinstance(base.get(k), Mapping):
+            out[k] = _merge_stats(base[k], v)
+        else:
+            out[k] = v
+    return out
 
 
 def fold_params_identity(params: Mapping[str, Any],
@@ -77,6 +99,15 @@ def fold_params_identity(params: Mapping[str, Any],
     layouts that have no ``fold_bn`` construction (the inception
     ConvBNReLU arg-scope); ConvBN-based models can use either this or
     :func:`fold_params` + ``fold_bn=True``.
+
+    BN layers that are NOT part of a conv→BN child pair (resnet-style
+    sibling naming like conv1/bn1) pass through untouched — their
+    params and statistics are preserved verbatim.
+
+    ``epsilon`` MUST equal the module's own BN epsilon: the identity
+    relies on ``sqrt((1-eps_fold) + eps_module) == 1`` exactly, so a
+    mismatch introduces a silent per-layer scale error. ConvBN and
+    ConvBNReLU both default to 1e-3.
     """
 
     def walk(p: Mapping[str, Any], bs: Mapping[str, Any]):
@@ -91,41 +122,34 @@ def fold_params_identity(params: Mapping[str, Any],
                 conv = dict(sub["conv"])
                 bn = dict(sub["bn"])
                 stats = sub_stats.get("bn", {})
-                bn_bias = bn.get("bias")
-                width = (bn_bias if bn_bias is not None
-                         else conv["kernel"][..., 0, :])
-                mean = stats.get("mean", jnp.zeros_like(width))
-                var = stats.get("var", jnp.ones_like(width))
-                gamma = bn.get("scale", jnp.ones_like(mean))
-                beta = (bn_bias if bn_bias is not None
-                        else jnp.zeros_like(mean))
-                conv_bias = conv.get("bias")
-                scale = gamma / jnp.sqrt(var + epsilon)
-                conv["kernel"] = conv["kernel"] * scale
-                folded_bias = ((conv_bias if conv_bias is not None
-                                else jnp.zeros_like(mean)) - mean) * \
-                    scale + beta
-                if conv_bias is not None:
-                    conv["bias"] = jnp.zeros_like(conv_bias)
+                kernel, folded_bias, _ = _fold_one(conv, bn, stats, epsilon)
+                width = kernel.shape[-1]
+                conv["kernel"] = kernel
+                if "bias" in conv:
+                    conv["bias"] = jnp.zeros_like(conv["bias"])
                 if "scale" in bn:
-                    bn["scale"] = jnp.ones_like(gamma)
-                if bn_bias is not None:
+                    bn["scale"] = jnp.ones_like(bn["scale"])
+                if "bias" in bn:
                     bn["bias"] = folded_bias
-                elif conv_bias is not None:
+                elif "bias" in conv:
                     conv["bias"] = folded_bias
                 else:  # neither slot exists: nowhere to carry the bias
                     raise ValueError(
                         f"cannot fold {key!r}: conv has no bias and BN "
                         "has no center to carry the folded offset")
                 new_p[key] = {**sub, "conv": conv, "bn": bn}
-                new_s[key] = {**sub_stats, "bn": {
-                    "mean": jnp.zeros_like(mean),
-                    "var": jnp.full_like(var, 1.0 - epsilon)}}
+                new_s[key] = _merge_stats(sub_stats, {"bn": {
+                    "mean": jnp.zeros((width,), kernel.dtype),
+                    "var": jnp.full((width,), 1.0 - epsilon,
+                                    kernel.dtype)}})
             else:
                 wp, ws = walk(sub, sub_stats)
                 new_p[key] = wp
-                if ws:
-                    new_s[key] = ws
+                # un-folded statistics (standalone BNs, resnet-style
+                # conv1/bn1 siblings) pass through verbatim
+                merged = _merge_stats(sub_stats, ws) if sub_stats else ws
+                if merged:
+                    new_s[key] = merged
         return new_p, new_s
 
     return walk(params, batch_stats or {})

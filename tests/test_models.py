@@ -168,3 +168,36 @@ def test_fold_params_identity_equivalence(rng):
         # the folded stats are the identity constants
         np.testing.assert_allclose(
             np.asarray(fs["layer"]["bn"]["mean"]), 0.0)
+
+
+def test_fold_params_identity_passes_through_nonpair_bn(rng):
+    """BN layers that are NOT a conv/bn child pair (resnet-style conv1 +
+    bn1 siblings) keep their params AND statistics untouched, and the
+    folded model still applies cleanly."""
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+
+    from tensorflow_yolo2_tpu.models.fold import fold_params_identity
+
+    class SiblingNet(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            x = nn.Conv(4, (3, 3), name="conv1")(x)
+            x = nn.BatchNorm(use_running_average=not train, name="bn1")(x)
+            return nn.relu(x)
+
+    x = rng.normal(0, 1, (1, 8, 8, 3)).astype(np.float32)
+    m = SiblingNet()
+    variables = m.init(jax.random.PRNGKey(0), x, train=False)
+    stats = jax.tree_util.tree_map(
+        lambda v: v + 0.1, dict(variables["batch_stats"]))
+    ref = m.apply({"params": variables["params"], "batch_stats": stats},
+                  x, train=False)
+    fp, fs = fold_params_identity(variables["params"], stats)
+    out = m.apply({"params": fp, "batch_stats": fs}, x, train=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+    # statistics passed through verbatim (nothing was folded)
+    np.testing.assert_array_equal(
+        np.asarray(fs["bn1"]["mean"]), np.asarray(stats["bn1"]["mean"]))
