@@ -102,6 +102,13 @@ class PrefetchLoader:
             except queue.Empty:
                 if self._stop.is_set() and \
                         not any(t.is_alive() for t in self._threads):
+                    # a worker can enqueue its final batch and exit between
+                    # the timed get above and the aliveness check — drain
+                    # that straggler before surfacing end-of-stream
+                    try:
+                        return self._queue.get_nowait()
+                    except queue.Empty:
+                        pass
                     if self._error is not None and \
                             not isinstance(self._error, StopIteration):
                         raise self._error

@@ -51,14 +51,23 @@ def bootstrap_state(trainer: Trainer, mgr: CheckpointManager,
                     warm_start_dir: Optional[str] = None,
                     warm_start_exclude: tuple[str, ...] = (),
                     params_override: Any = None,
-                    batch_stats_override: Any = None) -> tuple[TrainState, int]:
+                    batch_stats_override: Any = None,
+                    info: Optional[dict] = None) -> tuple[TrainState, int]:
     """Resume-or-initialize (the decision tree of net_utils.py:64-219):
 
     1. newest checkpoint under this run's dir → exact resume;
     2. otherwise warm-start params from ``warm_start_dir`` (another run's
        snapshot) minus excluded scopes;
     3. otherwise fresh init (or explicit overrides, e.g. TF import).
+
+    ``info`` (if given) receives restore diagnostics — currently
+    ``ema_restored``: how many EMA tensors came from the snapshot (-1 for
+    an exact full restore), so callers can detect an ``--use-ema`` eval of
+    a snapshot trained without EMA.
     """
+    if info is None:
+        info = {}
+    info["ema_restored"] = 0
     state = trainer.create_state(rng, sample_images,
                                  params_override=params_override,
                                  batch_stats_override=batch_stats_override)
@@ -66,6 +75,8 @@ def bootstrap_state(trainer: Trainer, mgr: CheckpointManager,
     if last is not None:
         try:
             state, step = mgr.restore(state)
+            if state.ema_params is not None:
+                info["ema_restored"] = -1  # exact restore incl. EMA slot
         except ValueError:
             # snapshot was written under a different optimizer: restore
             # params/stats by intersection and re-init the optimizer state
@@ -76,7 +87,8 @@ def bootstrap_state(trainer: Trainer, mgr: CheckpointManager,
                                      raw.get("batch_stats", {}))
             ema = state.ema_params
             if ema is not None and raw.get("ema_params") is not None:
-                ema, _ = merge_pytrees(ema, raw["ema_params"])
+                ema, info["ema_restored"] = merge_pytrees(
+                    ema, raw["ema_params"])
             state = trainer.resume_optimizer(
                 state.replace(params=params, batch_stats=stats,
                               ema_params=ema))
@@ -113,6 +125,7 @@ def run_train_loop(trainer: Trainer, state: TrainState,
     pending: list[tuple[int, Any]] = []
     last_save = _time.monotonic()
     last_saved_iter = start_iter
+    saved_steps: set[int] = set()
 
     def flush(upto: int) -> None:
         while pending and (len(pending) > upto):
@@ -162,6 +175,7 @@ def run_train_loop(trainer: Trainer, state: TrainState,
                 # snapshot name (reference train_epoch_N convention), so
                 # the saved step is iters // iters-per-epoch
                 mgr.save(i // save_step_divisor, jax.device_get(state))
+                saved_steps.add(i // save_step_divisor)
                 last_save = _time.monotonic()
                 last_saved_iter = i
                 print(f"Saved snapshot at iter {i} "
@@ -170,10 +184,18 @@ def run_train_loop(trainer: Trainer, state: TrainState,
     final = start_iter + num_iters
     if num_iters > 0 and last_saved_iter != final:
         # exit off the save cadence: snapshot the tail so no training is
-        # silently discarded (slim's supervisor saves on exit too)
-        mgr.save(final // save_step_divisor, jax.device_get(state))
-        print(f"Saved final snapshot at iter {final} "
-              f"({mgr.interval} {final // save_step_divisor})")
+        # silently discarded (slim's supervisor saves on exit too). With an
+        # epoch-interval manager a mid-epoch tail floor-divides onto the
+        # label of an epoch-boundary snapshot already saved this run —
+        # skip rather than silently replace the clean boundary state.
+        tail_step = final // save_step_divisor
+        if tail_step in saved_steps:
+            print(f"Skipping tail save at iter {final}: {mgr.interval} "
+                  f"{tail_step} already holds the epoch-boundary snapshot")
+        else:
+            mgr.save(tail_step, jax.device_get(state))
+            print(f"Saved final snapshot at iter {final} "
+                  f"({mgr.interval} {tail_step})")
     return state
 
 

@@ -57,14 +57,22 @@ def main(argv: list[str] | None = None) -> int:
             mgr = epoch_mgr
     get_batch = getattr(imdb, "get_val", imdb.get)
     sample, _ = get_batch()
+    info: dict = {}
     state, step = common.bootstrap_state(trainer, mgr,
-                                         jax.random.PRNGKey(0), sample[:1])
+                                         jax.random.PRNGKey(0), sample[:1],
+                                         info=info)
     if step == 0 and mgr.latest_step() is None:
         print("WARNING: no snapshot found under "
               f"{mgr.dir} — evaluating freshly-initialized weights")
-    eval_params = (state.ema_params
-                   if args.use_ema and state.ema_params is not None
-                   else state.params)
+    use_ema = args.use_ema and state.ema_params is not None
+    if use_ema and step > 0 and info.get("ema_restored") == 0:
+        # snapshot was trained without EMA: the ema slot still holds its
+        # fresh-init value — evaluating it would silently score random
+        # weights (reference evals the raw variables in that case)
+        print("WARNING: snapshot has no EMA tensors — "
+              "falling back to the raw parameters")
+        use_ema = False
+    eval_params = state.ema_params if use_ema else state.params
 
     @jax.jit
     def topk_correct(state_params, batch_stats, images, labels):

@@ -86,10 +86,18 @@ def main(argv: list[str] | None = None) -> int:
                      random_noise=args.noise_aug, data_path=args.data_path,
                      **size_kw)
     # val split is only listed/cached when evals are enabled (a train-only
-    # tree with --eval-every 0 must keep working)
-    val_imdb = (IlsvrcCls("val", batch_size=batch_size, data_aug=False,
-                          data_path=args.data_path, **size_kw)
-                if args.eval_every else None)
+    # tree with --eval-every 0 must keep working); a dataset tree without
+    # a val split degrades to train-only with a warning — the default
+    # --eval-every must not make previously-working trees fail at startup
+    val_imdb = None
+    if args.eval_every:
+        try:
+            val_imdb = IlsvrcCls("val", batch_size=batch_size,
+                                 data_aug=False, data_path=args.data_path,
+                                 **size_kw)
+        except (FileNotFoundError, OSError) as e:
+            print(f"WARNING: no usable val split ({e}) — "
+                  "training without validation streams")
     try:
         backbone = get_network(args.backbone, num_classes=imdb.num_class,
                                dtype=dtype, global_pool=True)
