@@ -4,8 +4,10 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 The pipeline benchmarked is the full serving path of
 entries/pascal_detect_darknet (the reference's pascal_detect_darknet.py):
-Darknet19 backbone + YOLO head at 448² + grid decode, bf16 compute,
-BatchNorm folded into the convs, batched, jitted once.
+Darknet19 backbone + YOLO head at 448² + the fused Pallas decode+NMS
+kernel (ops.pallas_decode.decode_nms_pallas — the north-star serving
+kernel), bf16 compute, BatchNorm folded into the convs, batched, jitted
+once. The host fetch is the kernel's K kept slots, not the dense grid.
 
 vs_baseline compares against the TF1-era reference path. The reference
 publishes no numbers (BASELINE.md), so the baseline is a *measured*
@@ -44,7 +46,7 @@ def measure_tpu() -> dict:
     from tensorflow_yolo2_tpu.config import YoloConfig
     from tensorflow_yolo2_tpu.models.darknet import Darknet19Detector
     from tensorflow_yolo2_tpu.models.fold import fold_params
-    from tensorflow_yolo2_tpu.ops.boxes import decode_grid
+    from tensorflow_yolo2_tpu.ops.pallas_decode import decode_nms_pallas
 
     yolo = YoloConfig(S=_IMAGE // 32)
     model = Darknet19Detector(output_channels=yolo.cell_channels,
@@ -58,7 +60,8 @@ def measure_tpu() -> dict:
     @jax.jit
     def forward(params, images):
         grid = fmodel.apply({"params": params}, images, train=False)
-        return jax.vmap(lambda g: decode_grid(g, yolo, 0.5))(grid)
+        # fused Pallas decode + class-aware NMS (the flagship kernel)
+        return decode_nms_pallas(grid, yolo, 0.5, 0.5, max_outputs=32)
 
     images = jnp.asarray(np.random.RandomState(0).uniform(
         -1, 1, (_BATCH, _IMAGE, _IMAGE, 3)), jnp.float32)

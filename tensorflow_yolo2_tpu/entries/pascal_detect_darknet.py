@@ -29,7 +29,10 @@ from tensorflow_yolo2_tpu.models.darknet import Darknet19Detector
 from tensorflow_yolo2_tpu.models.fold import fold_params
 from tensorflow_yolo2_tpu.ops.boxes import Detections
 from tensorflow_yolo2_tpu.ops.nms import nms_fixed
-from tensorflow_yolo2_tpu.ops.pallas_decode import decode_grid_pallas
+from tensorflow_yolo2_tpu.ops.pallas_decode import (
+    decode_grid_pallas,
+    decode_nms_pallas,
+)
 from tensorflow_yolo2_tpu.train.checkpoint import CheckpointManager
 from tensorflow_yolo2_tpu.utils.visualize import draw_detections
 
@@ -100,12 +103,16 @@ def make_detect_fn(yolo: YoloConfig, params, batch_stats,
 
             dets = jax.vmap(
                 lambda g: decode_grid_v2(g, yolo, object_thresh))(grid)
-        else:
-            dets = decode_grid_pallas(grid, yolo, object_thresh)
+            if use_nms:
+                dets = jax.vmap(
+                    lambda d: nms_fixed(d, nms_iou, max_outputs=32))(dets)
+            return dets
         if use_nms:
-            dets = jax.vmap(
-                lambda d: nms_fixed(d, nms_iou, max_outputs=32))(dets)
-        return dets
+            # the fused Pallas decode+NMS serving kernel (same survivor
+            # set as decode_grid_pallas + nms_fixed)
+            return decode_nms_pallas(grid, yolo, object_thresh, nms_iou,
+                                     max_outputs=32)
+        return decode_grid_pallas(grid, yolo, object_thresh)
 
     def detect(images: jnp.ndarray) -> Detections:
         return _detect(variables, images)

@@ -1,17 +1,26 @@
-"""Fused Pallas decode kernel: raw grid → thresholded detections.
+"""Fused Pallas decode (+NMS) kernels: raw grid → detections.
 
 The north-star TPU design point: the YOLO decode (grid offsets, w/h
-squaring, per-cell class argmax, confidence threshold) fused into one VMEM
-pass per image instead of the ~10 separate XLA ops the jnp decode lowers
-to. One grid step processes one image: the (S·S, 5B+C) prediction block is
-read from VMEM once, and boxes/scores/classes are written once.
+squaring, per-cell class argmax, confidence threshold) **and the greedy
+class-aware NMS** fused into one VMEM pass per image instead of the many
+separate XLA ops (incl. a sort and an O(N²) IoU matrix) the jnp
+decode+NMS path lowers to.
 
-The tensors are small (S·S×30 for the VOC config), so this kernel's value
-is latency: single-image p50 is dominated by kernel-launch and HBM-round-
-trip overheads, which fusion removes. Equivalent in behavior to
-ops.boxes.decode_grid (reference decode: net_utils.py:375-439).
+Two kernels:
 
-On CPU (tests / no TPU) the kernel runs in interpreter mode.
+- ``decode_grid_pallas`` — decode only, dense (S·S·B)-slot output;
+  equivalent to ops.boxes.decode_grid (reference: net_utils.py:375-439).
+- ``decode_nms_pallas`` — decode + confidence threshold + greedy
+  class-aware NMS in one kernel; equivalent to ``decode_grid`` followed
+  by ``ops.nms.nms_fixed`` (K kept slots). The whole S·S·B-slot problem
+  (98 boxes at 224², 392 at 448²) lives in VMEM; suppression is a
+  K-step masked argmax sweep — no sort, no N×N IoU materialization, and
+  the host fetch shrinks from O(S·S·B) to O(K).
+
+The tensors are small, so these kernels' value is latency: single-image
+p50 is dominated by kernel-launch and HBM-round-trip overheads, which
+fusion removes. On CPU (tests / no TPU) the kernels run in interpreter
+mode.
 """
 
 from __future__ import annotations
@@ -105,4 +114,182 @@ def decode_grid_pallas(net: jnp.ndarray, cfg: YoloConfig,
         boxes.reshape(batch, n_cells, B, 4).reshape(batch, n, 4),
         scores.reshape(batch, n),
         classes.reshape(batch, n),
+    )
+
+
+def _decode_nms_kernel(net_ref, boxes_ref, scores_ref, classes_ref, *,
+                       S: int, B: int, C: int, thresh: float,
+                       iou_thresh: float, K: int, class_aware: bool):
+    """One image, channels-major layout: net (C+5B, S·S) → kept boxes.
+
+    Everything lives in per-slot (1, S·S) row vectors — Mosaic cannot
+    concatenate row vectors with mismatched sublane/lane offsets, so the
+    B box slots are never flattened; cross-slot selection goes through
+    scalar keys instead. The greedy NMS is a static K-step sweep of
+    masked max + vectorized suppression: no sort, no N×N IoU matrix.
+    """
+    net = net_ref[0].astype(jnp.float32)  # (C+5B, S*S)
+    n_cells = S * S
+    n = n_cells * B
+
+    cell = jax.lax.broadcasted_iota(jnp.int32, (1, n_cells), 1)
+    row = (cell // S).astype(jnp.float32)  # y index
+    col = (cell % S).astype(jnp.float32)   # x index
+
+    # Per-cell class argmax over the C class rows (reference:
+    # np.argmax(predict_classes[c, r]), net_utils.py:418) — an unrolled
+    # compare/select sweep (portable, no cross-sublane argmax needed).
+    best = net[0:1, :]
+    cls_cell = jnp.zeros((1, n_cells), jnp.int32)
+    for c in range(1, C):
+        v = net[c:c + 1, :]
+        upd = v > best
+        cls_cell = jnp.where(upd, c, cls_cell)
+        best = jnp.where(upd, v, best)
+
+    # Decode each box slot into corner coordinates (kept per-slot).
+    x1, y1, x2, y2, sc, area, alive = [], [], [], [], [], [], []
+    for b in range(B):  # static unroll over box slots
+        raw = net[C + B + 4 * b: C + B + 4 * (b + 1), :]  # (4, n_cells)
+        x = (raw[0:1, :] + col) / float(S)
+        y = (raw[1:2, :] + row) / float(S)
+        w = jnp.square(raw[2:3, :])
+        h = jnp.square(raw[3:4, :])
+        x1.append(x - w / 2.0)
+        y1.append(y - h / 2.0)
+        x2.append(x + w / 2.0)
+        y2.append(y + h / 2.0)
+        conf = net[C + b:C + b + 1, :]
+        s = jnp.where(conf > thresh, conf, 0.0)
+        sc.append(s)
+        area.append(w * h)
+        alive.append(s > 0.0)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, n_cells), 1)
+    kslot = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
+    out_s = jnp.zeros((1, K), jnp.float32)
+    out_x1 = jnp.zeros((1, K), jnp.float32)
+    out_y1 = jnp.zeros((1, K), jnp.float32)
+    out_x2 = jnp.zeros((1, K), jnp.float32)
+    out_y2 = jnp.zeros((1, K), jnp.float32)
+    out_c = jnp.zeros((1, K), jnp.int32)
+
+    for k in range(K):  # static unroll: pick k-th survivor
+        m = jnp.float32(-1.0)
+        for b in range(B):
+            m = jnp.maximum(m, jnp.max(jnp.where(alive[b], sc[b], -1.0)))
+        valid = m > 0.0
+        # flat pick key = b·S·S + cell, lowest wins (deterministic
+        # tie-break: slot-major then cell order)
+        key = jnp.int32(n)
+        for b in range(B):
+            is_max = (sc[b] == m) & alive[b]
+            key = jnp.minimum(key, jnp.min(
+                jnp.where(is_max, lane + b * n_cells, n)))
+        # gather the picked box via per-slot one-hot masks
+        bx1 = by1 = bx2 = by2 = jnp.float32(0.0)
+        bcls = jnp.int32(0)
+        onehot = []
+        for b in range(B):
+            in_b = (key >= b * n_cells) & (key < (b + 1) * n_cells)
+            oh = in_b & (lane == key - b * n_cells)
+            onehot.append(oh)
+            bx1 = bx1 + jnp.sum(jnp.where(oh, x1[b], 0.0))
+            by1 = by1 + jnp.sum(jnp.where(oh, y1[b], 0.0))
+            bx2 = bx2 + jnp.sum(jnp.where(oh, x2[b], 0.0))
+            by2 = by2 + jnp.sum(jnp.where(oh, y2[b], 0.0))
+            bcls = bcls + jnp.sum(jnp.where(oh, cls_cell, 0))
+        barea = (bx2 - bx1) * (by2 - by1)
+
+        slot = kslot == k
+        out_s = jnp.where(slot, jnp.where(valid, m, 0.0), out_s)
+        out_x1 = jnp.where(slot, bx1, out_x1)
+        out_y1 = jnp.where(slot, by1, out_y1)
+        out_x2 = jnp.where(slot, bx2, out_x2)
+        out_y2 = jnp.where(slot, by2, out_y2)
+        out_c = jnp.where(slot, bcls, out_c)
+
+        # vectorized suppression by the picked box, per slot
+        for b in range(B):
+            iw = jnp.maximum(
+                0.0, jnp.minimum(x2[b], bx2) - jnp.maximum(x1[b], bx1))
+            ih = jnp.maximum(
+                0.0, jnp.minimum(y2[b], by2) - jnp.maximum(y1[b], by1))
+            inter = iw * ih
+            iou = jnp.clip(
+                inter / jnp.maximum(area[b] + barea - inter, 1e-10),
+                0.0, 1.0)
+            kill = iou > iou_thresh
+            if class_aware:
+                kill = kill & (cls_cell == bcls)
+            alive[b] = alive[b] & ~((kill | onehot[b]) & valid)
+
+    scores_ref[0] = out_s
+    classes_ref[0] = out_c
+    boxes_ref[0, 0:1, :] = out_x1
+    boxes_ref[0, 1:2, :] = out_y1
+    boxes_ref[0, 2:3, :] = out_x2
+    boxes_ref[0, 3:4, :] = out_y2
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "cfg", "object_thresh", "iou_thresh", "max_outputs", "class_aware",
+    "interpret"))
+def decode_nms_pallas(net: jnp.ndarray, cfg: YoloConfig,
+                      object_thresh: float = 0.5,
+                      iou_thresh: float = 0.5,
+                      max_outputs: int = 32,
+                      class_aware: bool = True,
+                      interpret: bool | None = None) -> Detections:
+    """Fused decode + greedy class-aware NMS of a (batch, S, S, 5B+C) grid.
+
+    Returns Detections with K = ``max_outputs`` kept slots per image,
+    score-descending; suppressed/empty slots have score 0 (their box and
+    class values are unspecified). Equivalent survivor set/order to
+    ``decode_grid`` + ``ops.nms.nms_fixed`` (up to exact score ties).
+    """
+    if cfg.per_slot_classes:
+        raise ValueError(
+            "decode_nms_pallas implements the v1 [C | B conf | boxes] "
+            "layout; per-slot (v2 anchor) heads decode via "
+            "ops.boxes.decode_grid_v2")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    S, B, C = cfg.S, cfg.B, cfg.num_class
+    batch = net.shape[0]
+    n_cells = S * S
+    K = max_outputs
+    # channels-major so every per-cell quantity is a native lane row
+    flat = jnp.transpose(net.reshape(batch, n_cells, cfg.cell_channels),
+                         (0, 2, 1))
+
+    kernel = functools.partial(
+        _decode_nms_kernel, S=S, B=B, C=C, thresh=float(object_thresh),
+        iou_thresh=float(iou_thresh), K=K, class_aware=class_aware)
+    boxes, scores, classes = pl.pallas_call(
+        kernel,
+        grid=(batch,),
+        in_specs=[pl.BlockSpec((1, cfg.cell_channels, n_cells),
+                               lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(
+            pl.BlockSpec((1, 4, K), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, K), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, K), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((batch, 4, K), jnp.float32),
+            jax.ShapeDtypeStruct((batch, 1, K), jnp.float32),
+            jax.ShapeDtypeStruct((batch, 1, K), jnp.int32),
+        ),
+        interpret=interpret,
+    )(flat)
+
+    return Detections(
+        jnp.transpose(boxes, (0, 2, 1)),   # (batch, K, 4)
+        scores[:, 0, :],                   # (batch, K)
+        classes[:, 0, :],                  # (batch, K)
     )

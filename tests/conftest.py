@@ -17,8 +17,11 @@ import jax  # noqa: E402
 # Force CPU even when the ambient environment points JAX at a TPU
 # (JAX_PLATFORMS=axon — the env var alone does not win against the axon
 # plugin, the config update does): unit tests exercise sharding on 8
-# virtual devices.
-jax.config.update("jax_platforms", "cpu")
+# virtual devices. TFY2_TEST_TPU=1 keeps the real backend so the
+# @pytest.mark.tpu tests can compile Pallas kernels on the chip
+# (scripts/run_tpu_tests.sh).
+if os.environ.get("TFY2_TEST_TPU") != "1":
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
