@@ -67,6 +67,17 @@ def add_slim_flags(p) -> None:
     p.add_argument("--grad-accum-steps", type=int, default=1,
                    help="accumulate gradients over k micro-batches "
                         "(effective batch = k x batch-size)")
+    p.add_argument("--image-size", type=int, default=None,
+                   help="input resolution for datasets that resize "
+                        "(slim's train_image_size flag)")
+    p.add_argument("--aux-loss", action="store_true",
+                   help="train with the model's auxiliary classifier "
+                        "head(s) at 0.4 loss weight (inception v1/v3; "
+                        "slim's aux_logits + weighted aux loss)")
+    p.add_argument("--activation-summaries", action="store_true",
+                   help="per-module activation histograms + sparsity "
+                        "scalars in the metrics stream (slim "
+                        "train_image_classifier.py:489-503)")
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -82,11 +93,17 @@ def main(argv: list[str] | None = None) -> int:
     lr = args.learning_rate or 0.01
     dtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
 
+    size_kw = {"image_size": args.image_size} if args.image_size else {}
     imdb = get_dataset(args.dataset_name, args.dataset_split_name,
                        batch_size=batch_size, data_path=args.data_path,
-                       seed=args.seed)
-    model = get_network(args.model_name, num_classes=imdb.num_class,
-                        dtype=dtype)
+                       seed=args.seed, **size_kw)
+    net_kw = {"aux_logits": True} if args.aux_loss else {}
+    try:
+        model = get_network(args.model_name, num_classes=imdb.num_class,
+                            dtype=dtype, **net_kw)
+    except TypeError:
+        p.error(f"--aux-loss: {args.model_name} has no auxiliary "
+                "classifier head (inception_v1/inception_v3 do)")
 
     opt_cfg = OptimizerConfig(
         name=args.optimizer, momentum=args.momentum,
@@ -110,7 +127,8 @@ def main(argv: list[str] | None = None) -> int:
                                     model=args.model_parallel))
     else:
         mesh = make_mesh_for_batch(batch_size, model=args.model_parallel)
-    trainer = Trainer(model, softmax_task(), opt_cfg, mesh=mesh)
+    trainer = Trainer(model, softmax_task(), opt_cfg, mesh=mesh,
+                      activation_summaries=args.activation_summaries)
     paths = Paths()
     mgr = CheckpointManager(args.model_name, imdb.name, paths=paths)
     writer = MetricsWriter(

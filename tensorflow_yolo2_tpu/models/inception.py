@@ -7,15 +7,23 @@ src/yolo2_nets/inception_resnet_v2.py used by the adversarial
 experiment — its 15-channel input transform is provided generically by
 models.contrast.ContrastInputModel):
 
-- :class:`InceptionV1` — GoogLeNet with BN (9 mixed blocks);
+- :class:`InceptionV1` — GoogLeNet with BN (9 mixed blocks); optional
+  paper-style aux classifier heads (slim's inception_v1 omits them);
+- :class:`InceptionV2` — the BN-paper net: depthwise-separable 7×7 stem
+  (slim inception_v2.py:88-98), double-3×3 branches, avg-pool
+  projections (max in Mixed_5c), exact slim branch widths
+  (inception_v2.py:122-409);
 - :class:`InceptionV3` — 35/17/8-grid towers with factorized 7×1/1×7;
+  optional aux-logits tower off the last 17×17 block
+  (inception_v3.py:497-523) behind ``aux_logits``;
 - :class:`InceptionV4` — Inception-A/B/C towers + reduction blocks;
 - :class:`InceptionResnetV2` — residual block35/17/8 towers with the
   canonical residual scales (0.17/0.10/0.20).
 
-v2 shares v1's builder with v3-style factorization kept out for brevity;
-all blocks are conv(+BN+ReLU) compositions that XLA fuses per branch and
-runs on the MXU in the configured dtype.
+All blocks are conv(+BN+ReLU) compositions that XLA fuses per branch and
+runs on the MXU in the configured dtype. With ``aux_logits=True`` a model
+returns ``(logits, aux_logits)``; the aux head feeds a 0.4-weighted loss
+term in train_classifier (reference train_image_classifier.py aux loss).
 """
 
 from __future__ import annotations
@@ -74,10 +82,37 @@ class _MixedV1(nn.Module):
         return _concat([br0, br1, br2, br3])
 
 
+class _AuxHeadV1(nn.Module):
+    """GoogLeNet-paper aux classifier (avgpool 5×5/3 → 1×1 128 → FC 1024
+    → dropout 0.7 → FC classes). slim's inception_v1 omits these; they
+    are provided for paper-faithful deep-supervision training."""
+
+    num_classes: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        # kernel reduced for small inputs (slim's
+        # _reduced_kernel_size_for_small_input convention)
+        k = (min(5, x.shape[1]), min(5, x.shape[2]))
+        x = nn.avg_pool(x, k, (3, 3), "VALID")
+        x = ConvBNReLU(128, (1, 1), dtype=self.dtype, name="proj")(x, train)
+        x = x.reshape(x.shape[0], -1)
+        x = nn.relu(nn.Dense(1024, dtype=self.dtype, name="fc")(x))
+        x = nn.Dropout(0.7, deterministic=not train)(x)
+        return nn.Dense(self.num_classes, dtype=self.dtype,
+                        name="logits")(x).astype(jnp.float32)
+
+
 class InceptionV1(nn.Module):
-    """GoogLeNet (slim inception_v1.py structure)."""
+    """GoogLeNet (slim inception_v1.py structure).
+
+    ``aux_logits=True`` adds the two paper aux heads (after mixed_4a and
+    mixed_4d) and makes ``__call__`` return ``(logits, aux)`` where aux
+    averages the two heads' logits."""
 
     num_classes: int = 1000
+    aux_logits: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -100,21 +135,139 @@ class InceptionV1(nn.Module):
             ("5a", 256, (160, 320), (32, 128), 128),
             ("5b", 384, (192, 384), (48, 128), 128),
         ]
+        aux = []
         for name, b0, b1, b2, b3 in specs:
             if name == "pool":
                 x = nn.max_pool(x, (3, 3), (2, 2), "SAME")
             else:
                 x = _MixedV1(b0, b1, b2, b3, dtype=self.dtype,
                              name=f"mixed_{name}")(x, train)
+            if self.aux_logits and name in ("4a", "4d"):
+                aux.append(_AuxHeadV1(self.num_classes, dtype=self.dtype,
+                                      name=f"aux_{name}")(x, train))
         x = jnp.mean(x, axis=(1, 2))
         x = nn.Dropout(0.2, deterministic=not train)(x)
+        logits = nn.Dense(self.num_classes, dtype=self.dtype,
+                          name="logits")(x).astype(jnp.float32)
+        if self.aux_logits:
+            return logits, (aux[0] + aux[1]) / 2.0
+        return logits
+
+
+class SeparableConvBNReLU(nn.Module):
+    """slim separable_conv2d + batch_norm: a depthwise conv (channel
+    multiplier) followed by a 1×1 pointwise projection, BN+ReLU on the
+    output (reference inception_v2.py:88-98)."""
+
+    features: int
+    kernel: tuple[int, int]
+    depth_multiplier: int
+    strides: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        in_ch = x.shape[-1]
+        x = nn.Conv(in_ch * self.depth_multiplier, self.kernel,
+                    strides=(self.strides, self.strides), padding="SAME",
+                    feature_group_count=in_ch, use_bias=False,
+                    dtype=self.dtype, name="depthwise")(x)
+        x = nn.Conv(self.features, (1, 1), use_bias=False,
+                    dtype=self.dtype, name="pointwise")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9997,
+                         epsilon=1e-3, use_scale=False, dtype=self.dtype,
+                         name="bn")(x)
+        return nn.relu(x)
+
+
+class _MixedV2(nn.Module):
+    """Inception-v2 block: 1×1 | 1×1→3×3 | 1×1→3×3→3×3 | pool→1×1
+    (reference inception_v2.py:122-178 and the 4b-5c family)."""
+
+    b0: int
+    b1: tuple[int, int]
+    b2: tuple[int, int, int]
+    b3: int
+    pool: str = "avg"  # Mixed_5c uses max (inception_v2.py:405)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        c = lambda f, k, n: ConvBNReLU(f, (k, k), dtype=self.dtype, name=n)
+        br0 = c(self.b0, 1, "b0")(x, train)
+        br1 = c(self.b1[1], 3, "b1b")(c(self.b1[0], 1, "b1a")(x, train),
+                                      train)
+        t = c(self.b2[0], 1, "b2a")(x, train)
+        t = c(self.b2[1], 3, "b2b")(t, train)
+        br2 = c(self.b2[2], 3, "b2c")(t, train)
+        pooled = (nn.avg_pool(x, (3, 3), (1, 1), "SAME",
+                              count_include_pad=False)
+                  if self.pool == "avg"
+                  else nn.max_pool(x, (3, 3), (1, 1), "SAME"))
+        br3 = c(self.b3, 1, "b3")(pooled, train)
+        return _concat([br0, br1, br2, br3])
+
+
+class _ReductionV2(nn.Module):
+    """Inception-v2 grid reduction: 1×1→3×3/2 | 1×1→3×3→3×3/2 | maxpool/2
+    (reference inception_v2.py:182-203, :328-349)."""
+
+    b0: tuple[int, int]
+    b1: tuple[int, int, int]
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        C = lambda f, k, s, n: ConvBNReLU(f, (k, k), s, dtype=self.dtype,
+                                          name=n)
+        br0 = C(self.b0[1], 3, 2, "b0b")(C(self.b0[0], 1, 1, "b0a")(x, train),
+                                         train)
+        t = C(self.b1[0], 1, 1, "b1a")(x, train)
+        t = C(self.b1[1], 3, 1, "b1b")(t, train)
+        br1 = C(self.b1[2], 3, 2, "b1c")(t, train)
+        return _concat([br0, br1, nn.max_pool(x, (3, 3), (2, 2), "SAME")])
+
+
+class InceptionV2(nn.Module):
+    """The BN-paper Inception (slim inception_v2.py:30-544): separable
+    7×7 stem with depth_multiplier min(64/3, 8)=8 (:92-96), double-3×3
+    towers, and the exact slim branch widths."""
+
+    num_classes: int = 1000
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        # stem: separable 7×7/2 → maxpool → 1×1 64 → 3×3 192 → maxpool
+        x = SeparableConvBNReLU(64, (7, 7), depth_multiplier=8, strides=2,
+                                dtype=self.dtype, name="conv1")(x, train)
+        x = nn.max_pool(x, (3, 3), (2, 2), "SAME")
+        x = ConvBNReLU(64, (1, 1), dtype=self.dtype, name="conv2b")(x, train)
+        x = ConvBNReLU(192, (3, 3), dtype=self.dtype, name="conv2c")(x, train)
+        x = nn.max_pool(x, (3, 3), (2, 2), "SAME")
+        mixed = lambda *a, **kw: _MixedV2(*a, dtype=self.dtype, **kw)
+        x = mixed(64, (64, 64), (64, 96, 96), 32, name="mixed_3b")(x, train)
+        x = mixed(64, (64, 96), (64, 96, 96), 64, name="mixed_3c")(x, train)
+        x = _ReductionV2((128, 160), (64, 96, 96), dtype=self.dtype,
+                         name="mixed_4a")(x, train)
+        x = mixed(224, (64, 96), (96, 128, 128), 128,
+                  name="mixed_4b")(x, train)
+        x = mixed(192, (96, 128), (96, 128, 128), 128,
+                  name="mixed_4c")(x, train)
+        x = mixed(160, (128, 160), (128, 160, 160), 96,
+                  name="mixed_4d")(x, train)
+        x = mixed(96, (128, 192), (160, 192, 192), 96,
+                  name="mixed_4e")(x, train)
+        x = _ReductionV2((128, 192), (192, 256, 256), dtype=self.dtype,
+                         name="mixed_5a")(x, train)
+        x = mixed(352, (192, 320), (160, 224, 224), 128,
+                  name="mixed_5b")(x, train)
+        x = mixed(352, (192, 320), (192, 224, 224), 128, pool="max",
+                  name="mixed_5c")(x, train)
+        x = jnp.mean(x, axis=(1, 2))
+        x = nn.Dropout(0.2, deterministic=not train)(x)  # keep_prob 0.8
         return nn.Dense(self.num_classes, dtype=self.dtype,
                         name="logits")(x).astype(jnp.float32)
-
-
-# InceptionV2 in slim is V1's topology with factorized stems/depthwise
-# options; for the zoo we expose it as the V1 builder at its default size.
-InceptionV2 = InceptionV1
 
 
 class _MixedV3A(nn.Module):  # 35×35 tower
@@ -178,9 +331,14 @@ class _MixedV3C(nn.Module):  # 8×8 tower
 
 
 class InceptionV3(nn.Module):
-    """slim inception_v3.py structure (299² default)."""
+    """slim inception_v3.py structure (299² default).
+
+    ``aux_logits=True`` adds the slim aux tower off the last 17×17 block
+    (inception_v3.py:497-523: avgpool 5×5/3 → 1×1 128 → 5×5 768 VALID →
+    1×1 classes) and makes ``__call__`` return ``(logits, aux)``."""
 
     num_classes: int = 1000
+    aux_logits: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -204,6 +362,19 @@ class InceptionV3(nn.Module):
         x = _concat([br0, br1, nn.max_pool(x, (3, 3), (2, 2))])
         for i, c7 in enumerate((128, 160, 160, 192)):
             x = _MixedV3B(c7, dtype=self.dtype, name=f"mixed6_{i}")(x, train)
+        aux = None
+        if self.aux_logits:
+            # slim aux tower (inception_v3.py:497-523); the 5×5 kernel is
+            # slim's _reduced_kernel_size_for_small_input at 299² input
+            a = nn.avg_pool(x, (5, 5), (3, 3), "VALID")
+            a = ConvBNReLU(128, (1, 1), dtype=self.dtype,
+                           name="aux_proj")(a, train)
+            k = (min(5, a.shape[1]), min(5, a.shape[2]))
+            a = ConvBNReLU(768, k, padding="VALID", dtype=self.dtype,
+                           name="aux_conv")(a, train)
+            a = nn.Conv(self.num_classes, (1, 1), dtype=self.dtype,
+                        name="aux_logits")(a)
+            aux = jnp.mean(a, axis=(1, 2)).astype(jnp.float32)
         # grid reduction 17→8
         t = C(192, 1, 1, 1, "SAME", "red2_b0a")(x, train)
         br0 = C(320, 3, 3, 2, "VALID", "red2_b0b")(t, train)
@@ -216,8 +387,11 @@ class InceptionV3(nn.Module):
             x = _MixedV3C(dtype=self.dtype, name=f"mixed7_{i}")(x, train)
         x = jnp.mean(x, axis=(1, 2))
         x = nn.Dropout(0.2, deterministic=not train)(x)
-        return nn.Dense(self.num_classes, dtype=self.dtype,
-                        name="logits")(x).astype(jnp.float32)
+        logits = nn.Dense(self.num_classes, dtype=self.dtype,
+                          name="logits")(x).astype(jnp.float32)
+        if self.aux_logits:
+            return logits, aux
+        return logits
 
 
 class _IRBlock(nn.Module):

@@ -84,15 +84,30 @@ def yolo_task(yolo_cfg: YoloConfig, histograms: bool = False) -> Callable:
     return task
 
 
-def softmax_task() -> Callable:
+def softmax_task(aux_weight: float = 0.4) -> Callable:
     """Classification task: sparse softmax CE + accuracy (reference
-    imagenet_train_darknet.py:50-61, flowers_train.py:25-35)."""
+    imagenet_train_darknet.py:50-61, flowers_train.py:25-35).
 
-    def task(logits: jnp.ndarray, labels: jnp.ndarray):
+    Models built with ``aux_logits=True`` (inception v1/v3) return
+    ``(logits, aux_logits)``; the aux head contributes an
+    ``aux_weight``-scaled CE term (slim's 0.4-weighted aux loss in
+    train_image_classifier's clone_fn)."""
+
+    def task(outputs, labels: jnp.ndarray):
+        aux = None
+        if isinstance(outputs, tuple):
+            outputs, aux = outputs
         loss = jnp.mean(optax.softmax_cross_entropy_with_integer_labels(
-            logits, labels))
-        acc = jnp.mean((jnp.argmax(logits, -1) == labels).astype(jnp.float32))
-        return loss, {"loss": loss, "accuracy": acc}
+            outputs, labels))
+        metrics = {"loss": loss}
+        if aux is not None:
+            aux_loss = jnp.mean(
+                optax.softmax_cross_entropy_with_integer_labels(aux, labels))
+            loss = loss + aux_weight * aux_loss
+            metrics = {"loss": loss, "aux_loss": aux_loss}
+        metrics["accuracy"] = jnp.mean(
+            (jnp.argmax(outputs, -1) == labels).astype(jnp.float32))
+        return loss, metrics
 
     return task
 
@@ -107,10 +122,20 @@ class Trainer:
                  opt_cfg: OptimizerConfig = OptimizerConfig(),
                  mesh: Optional[Mesh] = None, donate: bool = True,
                  remat: bool = False,
-                 tx_factory: Optional[Callable] = None):
+                 tx_factory: Optional[Callable] = None,
+                 activation_summaries: bool = False,
+                 eval_with_ema: bool = True):
         """``tx_factory(params) -> GradientTransformation`` overrides the
         single-optimizer build from ``opt_cfg`` (used for per-scope
-        optimizer groups, optimizers.make_grouped_optimizer)."""
+        optimizer groups, optimizers.make_grouped_optimizer).
+
+        ``activation_summaries`` adds per-top-level-module activation
+        histograms + sparsity scalars to the train-step metrics (slim's
+        activation/sparsity summaries,
+        train_image_classifier.py:489-503). ``eval_with_ema=False``
+        evaluates the raw parameters even when EMA is tracked (slim can
+        eval either; default matches the reference's
+        moving_average_decay eval restore)."""
         self.model = model
         self.task = task
         self.opt_cfg = opt_cfg
@@ -123,6 +148,8 @@ class Trainer:
         # rematerialize the forward in the backward pass — trades FLOPs for
         # HBM, the lever for big global batches at high resolution
         self._remat = remat
+        self._act_summaries = activation_summaries
+        self._eval_with_ema = eval_with_ema
         self._train_step = None
         self._eval_step = None
 
@@ -199,11 +226,41 @@ class Trainer:
                 self._apply, static_argnums=(3,),
                 policy=jax.checkpoint_policies.nothing_saveable)
 
+        act_summaries = self._act_summaries
+        model = self.model
+
         def step(state: TrainState, images: jnp.ndarray,
                  labels: jnp.ndarray):
             step_rng, next_rng = jax.random.split(state.rng)
 
             def loss_fn(params):
+                if act_summaries:
+                    # capture depth-1 module outputs for the activation
+                    # histogram/sparsity summaries (slim
+                    # train_image_classifier.py:489-503)
+                    variables = {"params": params}
+                    mutable = ["intermediates"]
+                    if state.batch_stats:
+                        variables["batch_stats"] = state.batch_stats
+                        mutable.append("batch_stats")
+                    outputs, mut = model.apply(
+                        variables, images, train=True, mutable=mutable,
+                        rngs={"dropout": step_rng},
+                        capture_intermediates=lambda mdl, m:
+                            m == "__call__" and len(mdl.path) == 1)
+                    new_stats = mut.get("batch_stats", state.batch_stats)
+                    loss, metrics = self.task(outputs, labels)
+                    for name, sub in mut.get("intermediates", {}).items():
+                        out = sub.get("__call__", (None,))[0]
+                        if not hasattr(out, "ndim"):
+                            continue
+                        act = out.astype(jnp.float32)
+                        metrics[f"sparsity/{name}"] = jnp.mean(act <= 0.0)
+                        flat = act.ravel()
+                        n = min(4096, flat.shape[0])  # bounded sample
+                        stride = max(1, flat.shape[0] // n)
+                        metrics[f"hist/act_{name}"] = flat[::stride][:n]
+                    return loss, (new_stats, metrics)
                 outputs, new_stats = apply(
                     params, state.batch_stats, images, True, step_rng)
                 loss, metrics = self.task(outputs, labels)
@@ -240,7 +297,11 @@ class Trainer:
     def _make_eval_step(self):
         def step(state: TrainState, images: jnp.ndarray,
                  labels: jnp.ndarray):
-            params = state.ema_params if self._ema else state.params
+            # raw-vs-EMA eval switch (slim evaluates either; reference
+            # eval restores EMA when moving_average_decay is set)
+            params = (state.ema_params
+                      if self._ema and self._eval_with_ema
+                      else state.params)
             outputs, _ = self._apply(params, state.batch_stats, images,
                                      False, None)
             _, metrics = self.task(outputs, labels)

@@ -1,0 +1,85 @@
+"""Metrics tail: activation/sparsity summaries + raw-vs-EMA eval switch
+(VERDICT r1 item 9; slim train_image_classifier.py:489-503 activation
+summaries, eval_image_classifier's optional EMA variable restore)."""
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tensorflow_yolo2_tpu.config import LRScheduleConfig, OptimizerConfig
+from tensorflow_yolo2_tpu.parallel.mesh import MeshConfig, make_mesh
+from tensorflow_yolo2_tpu.train.trainer import Trainer, softmax_task
+
+
+class TwoLayer(nn.Module):
+    @nn.compact
+    def __call__(self, x, train=False):
+        x = x.reshape(x.shape[0], -1)
+        x = nn.relu(nn.Dense(16, name="fc1")(x))
+        return nn.Dense(4, name="logits")(x)
+
+
+def _data(rng):
+    images = rng.normal(0, 1, (8, 4, 4, 1)).astype(np.float32)
+    labels = rng.randint(0, 4, 8).astype(np.int32)
+    return images, labels
+
+
+def test_activation_summaries_in_metrics(rng):
+    mesh = make_mesh(MeshConfig(data=1))
+    tr = Trainer(TwoLayer(), softmax_task(),
+                 OptimizerConfig(name="sgd",
+                                 schedule=LRScheduleConfig(
+                                     learning_rate=0.1)),
+                 mesh=mesh, activation_summaries=True)
+    images, labels = _data(rng)
+    state = tr.create_state(jax.random.PRNGKey(0), images[:1])
+    state, metrics = tr.train_step(state, *tr.put_batch(images, labels))
+    assert "sparsity/fc1" in metrics
+    s = float(np.asarray(metrics["sparsity/fc1"]))
+    # fc1's captured output is the Dense pre-activation: roughly half
+    # the values are <= 0 at init
+    assert 0.0 < s < 1.0
+    hist = np.asarray(metrics["hist/act_fc1"])
+    assert hist.ndim == 1 and hist.size > 0
+    assert np.isfinite(hist).all()
+    # the default path emits no activation metrics
+    tr2 = Trainer(TwoLayer(), softmax_task(),
+                  OptimizerConfig(name="sgd",
+                                  schedule=LRScheduleConfig(
+                                      learning_rate=0.1)), mesh=mesh)
+    state2 = tr2.create_state(jax.random.PRNGKey(0), images[:1])
+    _, m2 = tr2.train_step(state2, *tr2.put_batch(images, labels))
+    assert not any(k.startswith("sparsity/") for k in m2)
+
+
+def test_eval_with_ema_switch(rng):
+    mesh = make_mesh(MeshConfig(data=1))
+    images, labels = _data(rng)
+
+    def make(eval_with_ema):
+        tr = Trainer(TwoLayer(), softmax_task(),
+                     OptimizerConfig(name="sgd", moving_average_decay=0.5,
+                                     schedule=LRScheduleConfig(
+                                         learning_rate=0.5)),
+                     mesh=mesh, donate=False,
+                     eval_with_ema=eval_with_ema)
+        state = tr.create_state(jax.random.PRNGKey(0), images[:1])
+        for _ in range(3):  # let EMA and params diverge
+            state, _ = tr.train_step(state, *tr.put_batch(images, labels))
+        return tr, state
+
+    tr_ema, state = make(True)
+    tr_raw, state_raw = make(False)
+    m_ema = tr_ema.eval_step(state, *tr_ema.put_batch(images, labels))
+    m_raw = tr_raw.eval_step(state_raw,
+                             *tr_raw.put_batch(images, labels))
+    # identical training trajectory, different eval weights
+    assert float(np.asarray(m_ema["loss"])) != \
+        float(np.asarray(m_raw["loss"]))
+    # raw eval equals evaluating params directly
+    direct = TwoLayer().apply({"params": jax.device_get(state_raw.params)},
+                              jnp.asarray(images), train=False)
+    acc = float(np.mean(np.argmax(np.asarray(direct), -1) == labels))
+    assert acc == float(np.asarray(m_raw["accuracy"]))
