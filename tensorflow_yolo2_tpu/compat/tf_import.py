@@ -305,6 +305,163 @@ def import_inception_resnet_v2_checkpoint(path: str,
     return params, stats
 
 
+# ---------------------------------------------------------------------------
+# slim inception_v3 (named mapping)
+# ---------------------------------------------------------------------------
+
+# slim scope suffix → Flax module name. slim names from the vendored net
+# (src/slim_dir/nets/inception_v3.py:29-115 stem, :143-430 mixed blocks);
+# the reference warm-starts its FGSM attack generator from released
+# inception_v3 weights (src/imagenet/imagenet_train_inception_resnet.py:26-69).
+
+_IV3_STEM = {
+    "Conv2d_1a_3x3": "conv1a", "Conv2d_2a_3x3": "conv2a",
+    "Conv2d_2b_3x3": "conv2b", "Conv2d_3b_1x1": "conv3b",
+    "Conv2d_4a_3x3": "conv4a",
+}
+
+# 35×35 tower (Mixed_5b/5c/5d → mixed5_0..2). Mixed_5c uses slim's quirky
+# Conv2d_0b_1x1 / Conv_1_0c_5x5 names (inception_v3.py:171-173).
+_IV3_A = {
+    "Branch_0/Conv2d_0a_1x1": "b0",
+    "Branch_1/Conv2d_0a_1x1": "b1a", "Branch_1/Conv2d_0b_5x5": "b1b",
+    "Branch_2/Conv2d_0a_1x1": "b2a", "Branch_2/Conv2d_0b_3x3": "b2b",
+    "Branch_2/Conv2d_0c_3x3": "b2c",
+    "Branch_3/Conv2d_0b_1x1": "b3",
+}
+_IV3_A_5C = dict(_IV3_A)
+del _IV3_A_5C["Branch_1/Conv2d_0a_1x1"], _IV3_A_5C["Branch_1/Conv2d_0b_5x5"]
+_IV3_A_5C.update({"Branch_1/Conv2d_0b_1x1": "b1a",
+                  "Branch_1/Conv_1_0c_5x5": "b1b"})
+
+# 17×17 tower (Mixed_6b..6e → mixed6_0..3)
+_IV3_B = {
+    "Branch_0/Conv2d_0a_1x1": "b0",
+    "Branch_1/Conv2d_0a_1x1": "b1a", "Branch_1/Conv2d_0b_1x7": "b1b",
+    "Branch_1/Conv2d_0c_7x1": "b1c",
+    "Branch_2/Conv2d_0a_1x1": "b2a", "Branch_2/Conv2d_0b_7x1": "b2b",
+    "Branch_2/Conv2d_0c_1x7": "b2c", "Branch_2/Conv2d_0d_7x1": "b2d",
+    "Branch_2/Conv2d_0e_1x7": "b2e",
+    "Branch_3/Conv2d_0b_1x1": "b3",
+}
+
+# 8×8 tower (Mixed_7b/7c → mixed7_0/1). 7b's second split conv is
+# Conv2d_0b_3x1, 7c's is Conv2d_0c_3x1 (inception_v3.py:368-430).
+def _iv3_c(second_split: str):
+    return {
+        "Branch_0/Conv2d_0a_1x1": "b0",
+        "Branch_1/Conv2d_0a_1x1": "b1a", "Branch_1/Conv2d_0b_1x3": "b1b",
+        f"Branch_1/{second_split}": "b1c",
+        "Branch_2/Conv2d_0a_1x1": "b2a", "Branch_2/Conv2d_0b_3x3": "b2b",
+        "Branch_2/Conv2d_0c_1x3": "b2c", "Branch_2/Conv2d_0d_3x1": "b2d",
+        "Branch_3/Conv2d_0b_1x1": "b3",
+    }
+
+# grid reductions (Mixed_6a → red1_*, Mixed_7a → red2_*)
+_IV3_RED1 = {
+    "Branch_0/Conv2d_1a_1x1": "red1_b0",
+    "Branch_1/Conv2d_0a_1x1": "red1_b1a",
+    "Branch_1/Conv2d_0b_3x3": "red1_b1b",
+    "Branch_1/Conv2d_1a_1x1": "red1_b1c",
+}
+_IV3_RED2 = {
+    "Branch_0/Conv2d_0a_1x1": "red2_b0a", "Branch_0/Conv2d_1a_3x3": "red2_b0b",
+    "Branch_1/Conv2d_0a_1x1": "red2_b1a", "Branch_1/Conv2d_0b_1x7": "red2_b1b",
+    "Branch_1/Conv2d_0c_7x1": "red2_b1c", "Branch_1/Conv2d_1a_3x3": "red2_b1d",
+}
+
+
+def import_inception_v3_checkpoint(path: str, scope: str = "InceptionV3"):
+    """Import a slim inception_v3 checkpoint → (params, batch_stats) for
+    models.inception.InceptionV3.
+
+    Covers the reference's pretrained-inception_v3 FGSM attack generator
+    (imagenet_train_inception_resnet.py:26-69) and the slim warm-start
+    path (_get_init_fn, yolo1-resnet-adv.py:146-189). AuxLogits variables
+    are imported when present (for ``aux_logits=True`` models; otherwise
+    the merge intersection drops them).
+    """
+    var_map = load_tf_checkpoint(path)
+    params: dict[str, Any] = {}
+    stats: dict[str, Any] = {}
+
+    def take(prefix_map: Mapping[str, str], src_scope: str,
+             dst: str | None = None):
+        p: dict[str, Any] = params if dst is None else {}
+        s: dict[str, Any] = stats if dst is None else {}
+        for suffix, name in prefix_map.items():
+            bp, bs = _slim_conv_bn_noscale(var_map, f"{src_scope}/{suffix}")
+            p[name] = bp
+            s[name] = bs
+        if dst is not None:
+            params[dst] = p
+            stats[dst] = s
+
+    take(_IV3_STEM, scope)
+    for i, mixed in enumerate(("Mixed_5b", "Mixed_5c", "Mixed_5d")):
+        take(_IV3_A_5C if mixed == "Mixed_5c" else _IV3_A,
+             f"{scope}/{mixed}", f"mixed5_{i}")
+    take(_IV3_RED1, f"{scope}/Mixed_6a")
+    for i, mixed in enumerate(("Mixed_6b", "Mixed_6c", "Mixed_6d",
+                               "Mixed_6e")):
+        take(_IV3_B, f"{scope}/{mixed}", f"mixed6_{i}")
+    take(_IV3_RED2, f"{scope}/Mixed_7a")
+    take(_iv3_c("Conv2d_0b_3x1"), f"{scope}/Mixed_7b", "mixed7_0")
+    take(_iv3_c("Conv2d_0c_3x1"), f"{scope}/Mixed_7c", "mixed7_1")
+
+    logits_key = f"{scope}/Logits/Conv2d_1c_1x1/weights"
+    if logits_key in var_map:
+        # slim's 1×1-conv logits → our Dense head
+        k = var_map[logits_key]
+        params["logits"] = {
+            "kernel": k.reshape(k.shape[-2], k.shape[-1]),
+            "bias": var_map[f"{scope}/Logits/Conv2d_1c_1x1/biases"]}
+
+    aux_proj = f"{scope}/AuxLogits/Conv2d_1b_1x1/weights"
+    if aux_proj in var_map:
+        p, s = _slim_conv_bn_noscale(var_map, f"{scope}/AuxLogits/Conv2d_1b_1x1")
+        params["aux_proj"], stats["aux_proj"] = p, s
+        p, s = _slim_conv_bn_noscale(var_map, f"{scope}/AuxLogits/Conv2d_2a_5x5")
+        params["aux_conv"], stats["aux_conv"] = p, s
+        params["aux_logits"] = {
+            "kernel": var_map[f"{scope}/AuxLogits/Conv2d_2b_1x1/weights"],
+            "bias": var_map[f"{scope}/AuxLogits/Conv2d_2b_1x1/biases"]}
+    return params, stats
+
+
+# ---------------------------------------------------------------------------
+# slim vgg family (named mapping)
+# ---------------------------------------------------------------------------
+
+_VGG_STAGES = {"vgg_a": (1, 1, 2, 2, 2), "vgg_16": (2, 2, 3, 3, 3),
+               "vgg_19": (2, 2, 4, 4, 4)}
+
+
+def import_vgg_checkpoint(path: str, scope: str = "vgg_16"):
+    """Import a slim vgg checkpoint (vgg_a/vgg_16/vgg_19 by scope name) →
+    (params, {}) for models.zoo.VGG (no BN in the vgg family).
+
+    slim names: ``vgg_16/conv1/conv1_1/{weights,biases}`` ...,
+    ``vgg_16/fc{6,7,8}/{weights,biases}`` (src/slim_dir/nets/vgg.py;
+    fc layers are 7×7/1×1 convs in both slim and models.zoo.VGG).
+    """
+    var_map = load_tf_checkpoint(path)
+    stages = _VGG_STAGES[scope]
+    params: dict[str, Any] = {}
+    for si, n in enumerate(stages, start=1):
+        for ci in range(1, n + 1):
+            src = f"{scope}/conv{si}/conv{si}_{ci}"
+            params[f"conv{si}_{ci}"] = {
+                "kernel": var_map[f"{src}/weights"],
+                "bias": var_map[f"{src}/biases"]}
+    for fc in ("fc6", "fc7", "fc8"):
+        key = f"{scope}/{fc}/weights"
+        if key in var_map:
+            params[fc] = {"kernel": var_map[key],
+                          "bias": var_map[f"{scope}/{fc}/biases"]}
+    return params, {}
+
+
 def import_resnet_detector_checkpoint(path: str, scope: str = "resnet_v1_50"):
     """Import the full pascal resnet detector (backbone + yolo_fc heads,
     pascal_train_resnet.py:41-50 / net_utils.py:177-199)."""
@@ -317,3 +474,31 @@ def import_resnet_detector_checkpoint(path: str, scope: str = "resnet_v1_50"):
             params[fc] = {"kernel": var_map[f"{fc}/weights"],
                           "bias": var_map[f"{fc}/biases"]}
     return params, stats
+
+
+# ---------------------------------------------------------------------------
+# family dispatch
+# ---------------------------------------------------------------------------
+
+_IMPORTERS = {
+    "darknet19": lambda p: import_darknet19_checkpoint(p, detection=False),
+    "darknet19_detection": import_darknet19_checkpoint,
+    "resnet_v1_50": import_resnet50_checkpoint,
+    "inception_v3": import_inception_v3_checkpoint,
+    "inception_resnet_v2": import_inception_resnet_v2_checkpoint,
+    "vgg_a": lambda p: import_vgg_checkpoint(p, "vgg_a"),
+    "vgg_16": lambda p: import_vgg_checkpoint(p, "vgg_16"),
+    "vgg_19": lambda p: import_vgg_checkpoint(p, "vgg_19"),
+}
+
+
+def import_checkpoint_for(model_name: str, path: str):
+    """Import a released TF checkpoint for a registry model name →
+    (params, batch_stats). Families with released slim/reference weights
+    the reference workflow consumes (net_utils.py:64-219 and the slim
+    _get_init_fn warm-start)."""
+    if model_name not in _IMPORTERS:
+        raise ValueError(
+            f"no TF importer for {model_name!r}; have "
+            f"{sorted(_IMPORTERS)}")
+    return _IMPORTERS[model_name](path)

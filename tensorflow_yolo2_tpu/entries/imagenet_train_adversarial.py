@@ -63,6 +63,11 @@ def main(argv: list[str] | None = None) -> int:
                    help="snapshot dir holding the generator's weights "
                         "(merged by name/shape intersection); fresh "
                         "init if absent")
+    p.add_argument("--tf-attack-weights", default=None,
+                   help="released TF checkpoint to load the attack "
+                        "generator from (e.g. the reference's pretrained "
+                        "inception_v3, "
+                        "imagenet_train_inception_resnet.py:26-69)")
     p.add_argument("--image-size", type=int, default=None,
                    help="input resolution (default: the loader's)")
     p.add_argument("--grouped-opt", action="store_true",
@@ -163,6 +168,22 @@ def main(argv: list[str] | None = None) -> int:
                          train=False)
         gen_params = gvars["params"]
         gen_stats = gvars.get("batch_stats", {})
+        if args.tf_attack_weights:
+            # the reference's transfer attack warm-starts the generator
+            # from *released TF weights* (inception_v3.ckpt); merge by
+            # name/shape intersection so a reshaped logits head keeps
+            # its fresh init
+            from tensorflow_yolo2_tpu.compat.tf_import import (
+                import_checkpoint_for,
+            )
+            from tensorflow_yolo2_tpu.train.checkpoint import merge_pytrees
+            tp, ts = import_checkpoint_for(args.attack_model,
+                                           args.tf_attack_weights)
+            gen_params, n_p = merge_pytrees(gen_params, tp)
+            gen_stats, n_s = merge_pytrees(gen_stats, ts)
+            print(f"Attack generator {args.attack_model}: imported "
+                  f"{n_p} param / {n_s} stat tensors from "
+                  f"{args.tf_attack_weights}")
         if args.attack_snapshot:
             import orbax.checkpoint as ocp
 
