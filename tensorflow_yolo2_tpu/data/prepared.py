@@ -66,6 +66,30 @@ def convert_image_directory(data_dir: str, out_dir: str,
     return manifest
 
 
+def convert_arrays(images: np.ndarray, labels: np.ndarray,
+                   classes: tuple, out_dir: str,
+                   shard_size: int = 256) -> dict:
+    """Pack already-decoded (images, labels) arrays into npz shards with
+    a PreparedDataset-readable manifest (the per-dataset converter body
+    of reference download_and_convert_{cifar10,mnist}.py, minus the
+    network fetch)."""
+    os.makedirs(out_dir, exist_ok=True)
+    shards = []
+    for si in range(0, len(labels), shard_size):
+        name = f"shard_{si // shard_size:05d}.npz"
+        np.savez_compressed(os.path.join(out_dir, name),
+                            images=images[si:si + shard_size],
+                            labels=labels[si:si + shard_size].astype(
+                                np.int32))
+        shards.append(name)
+    manifest = {"classes": list(classes), "num_examples": int(len(labels)),
+                "image_size": int(images.shape[1]), "shards": shards,
+                "rgb": True}
+    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1)
+    return manifest
+
+
 class PreparedDataset(InMemoryImdb):
     """imdb over converted shards (uniform get/classes/... interface).
 

@@ -1,0 +1,93 @@
+"""download_and_convert CLI (reference download_and_convert_data.py:1-72
++ per-dataset converters) → prepared shards → train/eval through the
+prepared reader."""
+
+import numpy as np
+import pytest
+
+from tests import synthetic
+
+
+def test_convert_mnist_and_cifar10(tmp_path):
+    from tensorflow_yolo2_tpu.data.prepared import PreparedDataset
+    from tensorflow_yolo2_tpu.entries import download_and_convert
+
+    mnist = synthetic.make_mnist(str(tmp_path / "mnist"), n_train=24,
+                                 n_test=8)
+    rc = download_and_convert.main([
+        "--dataset-name", "mnist", "--source-dir", mnist,
+        "--dataset-dir", str(tmp_path / "mnist_prep"),
+        "--shard-size", "10"])
+    assert rc == 0
+    ds = PreparedDataset(str(tmp_path / "mnist_prep" / "train"),
+                         batch_size=4)
+    images, labels = ds.get()
+    assert images.shape == (4, 28, 28, 1)
+    assert images.dtype == np.float32 and abs(images).max() <= 1.0
+    assert ds.num_class == 10
+
+    cifar = synthetic.make_cifar10(str(tmp_path / "cifar"), per_batch=6)
+    rc = download_and_convert.main([
+        "--dataset-name", "cifar10", "--source-dir", cifar,
+        "--dataset-dir", str(tmp_path / "cifar_prep")])
+    assert rc == 0
+    ds = PreparedDataset(str(tmp_path / "cifar_prep" / "test"),
+                         batch_size=3)
+    images, labels = ds.get()
+    assert images.shape == (3, 32, 32, 3)
+    assert ds.classes[0] == "airplane"
+
+
+def test_convert_flowers(tmp_path):
+    from tensorflow_yolo2_tpu.data.prepared import PreparedDataset
+    from tensorflow_yolo2_tpu.entries import download_and_convert
+
+    flowers = synthetic.make_flowers(str(tmp_path / "flowers"),
+                                     per_class=3)
+    rc = download_and_convert.main([
+        "--dataset-name", "flowers", "--source-dir", flowers,
+        "--dataset-dir", str(tmp_path / "flowers_prep"),
+        "--image-size", "48"])
+    assert rc == 0
+    ds = PreparedDataset(str(tmp_path / "flowers_prep" / "train"),
+                         batch_size=2)
+    images, _ = ds.get()
+    assert images.shape == (2, 48, 48, 3)
+
+
+def test_missing_source_is_a_clear_error(tmp_path, capsys):
+    from tensorflow_yolo2_tpu.entries import download_and_convert
+
+    with pytest.raises(SystemExit):
+        download_and_convert.main([
+            "--dataset-name", "cifar10",
+            "--source-dir", str(tmp_path / "nope"),
+            "--dataset-dir", str(tmp_path / "out")])
+
+
+@pytest.mark.slow
+def test_cifarnet_trains_from_converted_shards(tmp_path, tmp_root):
+    """The train_cifarnet_on_cifar10.sh recipe body: convert → train
+    cifarnet on the prepared reader → eval (reference
+    scripts/train_cifarnet_on_cifar10.sh)."""
+    from tensorflow_yolo2_tpu.entries import (
+        download_and_convert,
+        eval_classifier,
+        train_classifier,
+    )
+
+    cifar = synthetic.make_cifar10(str(tmp_path / "cifar"), per_batch=16)
+    prep = tmp_path / "prep"
+    assert download_and_convert.main([
+        "--dataset-name", "cifar10", "--source-dir", cifar,
+        "--dataset-dir", str(prep)]) == 0
+    assert train_classifier.main([
+        "--model-name", "cifarnet", "--dataset-name", "prepared",
+        "--data-path", str(prep / "train"), "--iters", "3",
+        "--batch-size", "8", "--optimizer", "sgd",
+        "--compute-dtype", "float32", "--num-workers", "1",
+        "--save-every", "3", "--log-every", "1"]) == 0
+    assert eval_classifier.main([
+        "--model-name", "cifarnet", "--dataset-name", "prepared",
+        "--data-path", str(prep / "test"), "--max-batches", "2",
+        "--batch-size", "4", "--compute-dtype", "float32"]) == 0
