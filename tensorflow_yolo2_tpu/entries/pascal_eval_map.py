@@ -42,11 +42,25 @@ def main(argv: list[str] | None = None) -> int:
     params, stats = load_detector_params(yolo, args.tf_checkpoint)
     detect = make_detect_fn(yolo, params, stats, args.threshold,
                             use_nms=True, nms_iou=args.nms_iou)
+    mAP, aps = run_eval(detect, imdb, yolo, iou=args.iou,
+                        use_07_metric=args.use_07_metric,
+                        max_images=args.max_images)
+    for cls, ap in sorted(aps.items()):
+        print(f"AP[{imdb.classes[cls]}] = {ap:.4f}")
+    print(f"mAP@{args.iou} = {mAP:.4f} "
+          f"({'VOC07 11-point' if args.use_07_metric else 'all-points'})")
+    return 0
 
-    evaluator = VocMapEvaluator(imdb.num_class, iou_thresh=args.iou,
-                                use_07_metric=args.use_07_metric)
-    n_images = min(args.max_images or len(imdb.gt_labels),
-                   len(imdb.gt_labels))
+
+def run_eval(detect, imdb, yolo: YoloConfig, iou: float = 0.5,
+             use_07_metric: bool = False,
+             max_images: int | None = None) -> tuple[float, dict]:
+    """mAP of a jitted detect fn over one VOC split; returns (mAP, APs).
+    Factored out so experiment harnesses (benchmarks/quality_curve.py)
+    can evaluate snapshots mid-training."""
+    evaluator = VocMapEvaluator(imdb.num_class, iou_thresh=iou,
+                                use_07_metric=use_07_metric)
+    n_images = min(max_images or len(imdb.gt_labels), len(imdb.gt_labels))
     image_id = 0
     while image_id < n_images:
         images, labels = imdb.get()
@@ -54,21 +68,15 @@ def main(argv: list[str] | None = None) -> int:
         boxes = np.asarray(dets.boxes)
         scores = np.asarray(dets.scores)
         classes = np.asarray(dets.classes)
-        for b in range(batch_size):
+        for b in range(imdb.batch_size):
             if image_id >= n_images:
                 break
             evaluator.add_label_grid(image_id, boxes[b], scores[b],
                                      classes[b], labels[b], yolo.image_size)
             image_id += 1
-        if image_id % (batch_size * 4) == 0:
+        if image_id % (imdb.batch_size * 4) == 0:
             print(f"evaluated {image_id}/{n_images} images")
-
-    mAP, aps = evaluator.mean_ap()
-    for cls, ap in sorted(aps.items()):
-        print(f"AP[{imdb.classes[cls]}] = {ap:.4f}")
-    print(f"mAP@{args.iou} = {mAP:.4f} over {n_images} images "
-          f"({'VOC07 11-point' if args.use_07_metric else 'all-points'})")
-    return 0
+    return evaluator.mean_ap()
 
 
 if __name__ == "__main__":

@@ -41,6 +41,10 @@ def main(argv: list[str] | None = None) -> int:
                         "cycle every 10 batches during --v2 training "
                         "(YOLO9000 multiscale; TPU-friendly static-shape "
                         "bucketing — one compiled step per size)")
+    p.add_argument("--bn-momentum", type=float, default=0.99,
+                   help="BatchNorm moving-stat momentum (reference "
+                        "tf.layers default 0.99; lower it for short "
+                        "runs so eval-time folded stats keep up)")
     args = p.parse_args(argv)
     if args.multiscale and not args.v2:
         p.error("--multiscale requires --v2 (the anchor loss is "
@@ -68,13 +72,15 @@ def main(argv: list[str] | None = None) -> int:
         task = yolo_v2_task(yolo)
         # the anchor head wants a linear output (no BN+leaky quirk)
         model = Darknet19Detector(output_channels=yolo.cell_channels,
-                                  bn_on_output=False, dtype=dtype)
+                                  bn_on_output=False, dtype=dtype,
+                                  bn_momentum=args.bn_momentum)
         net_name = "darknet19_v2"
     else:
         yolo = YoloConfig()
         task = yolo_task(yolo, histograms=True)
         model = Darknet19Detector(output_channels=yolo.cell_channels,
-                                  dtype=dtype)
+                                  dtype=dtype,
+                                  bn_momentum=args.bn_momentum)
         net_name = "darknet19"
     imdb = PascalVOC(args.image_set, batch_size=batch_size, yolo=yolo,
                      flipped=args.flipped, data_path=args.data_path)

@@ -50,6 +50,9 @@ class Darknet19Backbone(nn.Module):
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
     bn_axis_name: Optional[str] = None
+    # tf.layers.batch_normalization default (reference darknet.py:42);
+    # lower for short runs so moving stats keep up with the weights
+    bn_momentum: float = 0.99
     # Inference fast path: construct with BN folded into the conv weights
     # (see models.fold.fold_params) — BN params vanish from the tree.
     fold_bn: bool = False
@@ -67,6 +70,7 @@ class Darknet19Backbone(nn.Module):
                            dtype=self.dtype,
                            param_dtype=self.param_dtype,
                            bn_axis_name=self.bn_axis_name,
+                           bn_momentum=self.bn_momentum,
                            name=f"conv{conv_i}")(x, train=train)
         return x
 
@@ -84,6 +88,9 @@ class Darknet19Classifier(nn.Module):
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
     bn_axis_name: Optional[str] = None
+    # tf.layers.batch_normalization default (reference darknet.py:42);
+    # lower for short runs so moving stats keep up with the weights
+    bn_momentum: float = 0.99
     # Inference fast path: construct with BN folded into the conv weights
     # (see models.fold.fold_params) — BN params vanish from the tree.
     fold_bn: bool = False
@@ -92,6 +99,7 @@ class Darknet19Classifier(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         x = Darknet19Backbone(dtype=self.dtype, param_dtype=self.param_dtype,
                               bn_axis_name=self.bn_axis_name,
+                              bn_momentum=self.bn_momentum,
                               fold_bn=self.fold_bn,
                               name="backbone")(x, train=train)
         x = ConvBN(self.num_classes, kernel_size=1,
@@ -99,6 +107,7 @@ class Darknet19Classifier(nn.Module):
                    activate=self.bn_on_output,
                    dtype=self.dtype, param_dtype=self.param_dtype,
                    bn_axis_name=self.bn_axis_name,
+                   bn_momentum=self.bn_momentum,
                    name="conv19")(x, train=train)
         x = avg_pool(x, x.shape[1], x.shape[1])
         return x.reshape(x.shape[0], self.num_classes).astype(jnp.float32)
@@ -113,6 +122,9 @@ class DetectionHead(nn.Module):
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
     bn_axis_name: Optional[str] = None
+    # tf.layers.batch_normalization default (reference darknet.py:42);
+    # lower for short runs so moving stats keep up with the weights
+    bn_momentum: float = 0.99
     # Inference fast path: construct with BN folded into the conv weights
     # (see models.fold.fold_params) — BN params vanish from the tree.
     fold_bn: bool = False
@@ -124,12 +136,14 @@ class DetectionHead(nn.Module):
                        dtype=self.dtype,
                        param_dtype=self.param_dtype,
                        bn_axis_name=self.bn_axis_name,
+                       bn_momentum=self.bn_momentum,
                        name=f"conv{i}")(x, train=train)
         x = ConvBN(self.output_channels, kernel_size=1,
                    use_bn=self.bn_on_output and not self.fold_bn,
                    activate=self.bn_on_output,
                    dtype=self.dtype, param_dtype=self.param_dtype,
                    bn_axis_name=self.bn_axis_name,
+                   bn_momentum=self.bn_momentum,
                    name="output")(x, train=train)
         return x.astype(jnp.float32)
 
@@ -147,6 +161,9 @@ class Darknet19Detector(nn.Module):
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
     bn_axis_name: Optional[str] = None
+    # tf.layers.batch_normalization default (reference darknet.py:42);
+    # lower for short runs so moving stats keep up with the weights
+    bn_momentum: float = 0.99
     # Inference fast path: construct with BN folded into the conv weights
     # (see models.fold.fold_params) — BN params vanish from the tree.
     fold_bn: bool = False
@@ -155,12 +172,14 @@ class Darknet19Detector(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         x = Darknet19Backbone(dtype=self.dtype, param_dtype=self.param_dtype,
                               bn_axis_name=self.bn_axis_name,
+                              bn_momentum=self.bn_momentum,
                               fold_bn=self.fold_bn,
                               name="backbone")(x, train=train)
         x = DetectionHead(output_channels=self.output_channels,
                           bn_on_output=self.bn_on_output,
                           dtype=self.dtype, param_dtype=self.param_dtype,
                           bn_axis_name=self.bn_axis_name,
+                          bn_momentum=self.bn_momentum,
                           fold_bn=self.fold_bn,
                           name="detection")(x, train=train)
         return x

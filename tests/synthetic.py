@@ -64,6 +64,67 @@ def make_voc(root: str, n_images: int = 4, image_set: str = "trainval",
     return voc
 
 
+# class → base BGR color family so the class label is learnable from
+# pixels (the quality-evidence fixture must be harder than trivial but
+# not impossible)
+_HARD_CLASSES = ("dog", "person", "car", "cat")
+_HARD_COLORS = ((40, 40, 200), (40, 200, 40), (200, 40, 40), (40, 200, 200))
+# deliberately imbalanced class frequencies
+_HARD_WEIGHTS = (0.55, 0.25, 0.12, 0.08)
+
+
+def make_voc_hard(root: str, n_train: int = 64, n_val: int = 32,
+                  w: int = 320, h: int = 240, seed: int = 11) -> str:
+    """Harder VOC fixture with a held-out val split: 2-5 objects per
+    image, deliberate overlapping pairs, imbalanced classes, size range
+    16-120 px, class-colored boxes on noise. Writes image sets
+    ``trainval`` (train) and ``test`` (val); returns the VOC2007 dir."""
+    voc = os.path.join(root, "VOC2007")
+    os.makedirs(os.path.join(voc, "ImageSets", "Main"), exist_ok=True)
+    os.makedirs(os.path.join(voc, "Annotations"), exist_ok=True)
+    rng = np.random.RandomState(seed)
+    sets = {"trainval": [], "test": []}
+    for i in range(n_train + n_val):
+        split = "trainval" if i < n_train else "test"
+        index = f"{i:06d}"
+        sets[split].append(index)
+        img = rng.randint(0, 255, (h, w, 3), np.uint8)
+        objs = []
+        n_obj = rng.randint(2, 6)
+        prev = None
+        for oi in range(n_obj):
+            bw = rng.randint(16, 120)
+            bh = rng.randint(16, 120)
+            if prev is not None and rng.rand() < 0.4:
+                # overlapping pair: offset from the previous box
+                x1 = int(np.clip(prev[0] + rng.randint(-20, 20),
+                                 1, w - bw - 1))
+                y1 = int(np.clip(prev[1] + rng.randint(-20, 20),
+                                 1, h - bh - 1))
+            else:
+                x1 = rng.randint(1, max(2, w - bw - 1))
+                y1 = rng.randint(1, max(2, h - bh - 1))
+            x2, y2 = min(x1 + bw, w - 1), min(y1 + bh, h - 1)
+            ci = rng.choice(len(_HARD_CLASSES), p=_HARD_WEIGHTS)
+            base = np.asarray(_HARD_COLORS[ci], np.int32)
+            color = tuple(int(c) for c in np.clip(
+                base + rng.randint(-40, 40, 3), 0, 255))
+            cv2.rectangle(img, (x1, y1), (x2, y2), color, -1)
+            objs.append((_HARD_CLASSES[ci], (x1, y1, x2, y2)))
+            prev = (x1, y1)
+        img_path = os.path.join(voc, "JPEGImages", index + ".jpg")
+        os.makedirs(os.path.dirname(img_path), exist_ok=True)
+        cv2.imwrite(img_path, img)
+        with open(os.path.join(voc, "Annotations", index + ".xml"),
+                  "w") as f:
+            f.write(_xml(index, w, h, objs))
+    for name, indices in sets.items():
+        with open(os.path.join(voc, "ImageSets", "Main",
+                               name + ".txt"), "w") as f:
+            f.write("\n".join(indices) + "\n")
+    return voc
+
+
 def make_flowers(root: str, classes: tuple = ("daisy", "rose", "tulip"),
                  per_class: int = 6) -> str:
     for ci, cls in enumerate(classes):
