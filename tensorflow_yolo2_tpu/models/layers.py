@@ -105,7 +105,27 @@ class Dense(nn.Module):
 
 
 def max_pool(x: jnp.ndarray, window: int = 2, stride: int = 2) -> jnp.ndarray:
-    """SAME max pool (reference darknet.py:24-25)."""
+    """SAME max pool (reference darknet.py:24-25).
+
+    TFY2_FAST_POOL=1 routes the 2×2/2 even-shape case through
+    ops.pallas_pool (XLA forward + Pallas backward) on TPU. Measured
+    NEGATIVE result on v5e (benchmarks/pool_kernel_bench.py): the
+    Pallas bwd loses to XLA's SelectAndScatter 84 vs 31 ms across the
+    darknet pool sites — the big pools carry only 32-64 channels (far
+    under the 128-lane VPU width) and the odd-column lane slice forces
+    relayouts — so the experiment stays opt-in; numerics are identical
+    either way (incl. tie-breaking).
+    """
+    import os
+
+    if os.environ.get("TFY2_FAST_POOL", "0") == "1":
+        import jax
+
+        from tensorflow_yolo2_tpu.ops import pallas_pool
+
+        if pallas_pool.supported(x, window, stride) and \
+                jax.default_backend() == "tpu":
+            return pallas_pool.max_pool2(x)
     return nn.max_pool(x, (window, window), strides=(stride, stride),
                        padding="SAME")
 
