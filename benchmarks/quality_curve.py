@@ -36,6 +36,9 @@ def main() -> None:
                     help="lower than the 0.99 reference default so the "
                          "folded eval stats keep up in a short run")
     ap.add_argument("--eval-max-images", type=int, default=None)
+    ap.add_argument("--easy", action="store_true",
+                    help="moderate fixture (no overlaps, 1-2 objects) — "
+                         "the generalization sanity point")
     args = ap.parse_args()
     stages = [int(s) for s in args.stages.split(",")]
 
@@ -57,10 +60,11 @@ def main() -> None:
     voc_root = os.path.join(paths.root, "data", "VOCdevkit")
     if not os.path.exists(os.path.join(voc_root, "VOC2007", "ImageSets",
                                        "Main", "test.txt")):
-        print(f"generating hard synthetic VOC at {voc_root} "
+        kind = "easy" if args.easy else "hard"
+        print(f"generating {kind} synthetic VOC at {voc_root} "
               f"({args.n_train} train / {args.n_val} val)")
         synthetic.make_voc_hard(voc_root, n_train=args.n_train,
-                                n_val=args.n_val)
+                                n_val=args.n_val, easy=args.easy)
 
     yolo = YoloConfig()
     rows = []

@@ -74,11 +74,17 @@ _HARD_WEIGHTS = (0.55, 0.25, 0.12, 0.08)
 
 
 def make_voc_hard(root: str, n_train: int = 64, n_val: int = 32,
-                  w: int = 320, h: int = 240, seed: int = 11) -> str:
+                  w: int = 320, h: int = 240, seed: int = 11,
+                  easy: bool = False) -> str:
     """Harder VOC fixture with a held-out val split: 2-5 objects per
     image, deliberate overlapping pairs, imbalanced classes, size range
     16-120 px, class-colored boxes on noise. Writes image sets
-    ``trainval`` (train) and ``test`` (val); returns the VOC2007 dir."""
+    ``trainval`` (train) and ``test`` (val); returns the VOC2007 dir.
+
+    ``easy=True`` keeps the held-out split but drops the difficulty
+    (1-2 non-overlapping objects, 48-120 px, balanced classes) — the
+    sanity point showing the train→val generalization pipeline itself
+    works."""
     voc = os.path.join(root, "VOC2007")
     os.makedirs(os.path.join(voc, "ImageSets", "Main"), exist_ok=True)
     os.makedirs(os.path.join(voc, "Annotations"), exist_ok=True)
@@ -90,12 +96,13 @@ def make_voc_hard(root: str, n_train: int = 64, n_val: int = 32,
         sets[split].append(index)
         img = rng.randint(0, 255, (h, w, 3), np.uint8)
         objs = []
-        n_obj = rng.randint(2, 6)
+        n_obj = rng.randint(1, 3) if easy else rng.randint(2, 6)
         prev = None
         for oi in range(n_obj):
-            bw = rng.randint(16, 120)
-            bh = rng.randint(16, 120)
-            if prev is not None and rng.rand() < 0.4:
+            lo, hi = (48, 120) if easy else (16, 120)
+            bw = rng.randint(lo, hi)
+            bh = rng.randint(lo, hi)
+            if not easy and prev is not None and rng.rand() < 0.4:
                 # overlapping pair: offset from the previous box
                 x1 = int(np.clip(prev[0] + rng.randint(-20, 20),
                                  1, w - bw - 1))
@@ -105,7 +112,8 @@ def make_voc_hard(root: str, n_train: int = 64, n_val: int = 32,
                 x1 = rng.randint(1, max(2, w - bw - 1))
                 y1 = rng.randint(1, max(2, h - bh - 1))
             x2, y2 = min(x1 + bw, w - 1), min(y1 + bh, h - 1)
-            ci = rng.choice(len(_HARD_CLASSES), p=_HARD_WEIGHTS)
+            ci = (rng.randint(len(_HARD_CLASSES)) if easy else
+                  rng.choice(len(_HARD_CLASSES), p=_HARD_WEIGHTS))
             base = np.asarray(_HARD_COLORS[ci], np.int32)
             color = tuple(int(c) for c in np.clip(
                 base + rng.randint(-40, 40, 3), 0, 255))
