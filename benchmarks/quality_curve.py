@@ -39,6 +39,11 @@ def main() -> None:
     ap.add_argument("--easy", action="store_true",
                     help="moderate fixture (no overlaps, 1-2 objects) — "
                          "the generalization sanity point")
+    ap.add_argument("--v2", action="store_true",
+                    help="train/eval the anchor head (pascal_train_darknet"
+                         " --v2) — B=5 per-slot classes handle the hard "
+                         "fixture's multiple-objects-per-cell scenes that "
+                         "the YOLOv1 one-object-per-cell grid cannot")
     args = ap.parse_args()
     stages = [int(s) for s in args.stages.split(",")]
 
@@ -66,22 +71,32 @@ def main() -> None:
         synthetic.make_voc_hard(voc_root, n_train=args.n_train,
                                 n_val=args.n_val, easy=args.easy)
 
-    yolo = YoloConfig()
+    if args.v2:
+        from tensorflow_yolo2_tpu.config import yolo_v2_config
+        yolo = yolo_v2_config()
+    else:
+        yolo = YoloConfig()
     rows = []
     done = 0
     for stage in stages:
         iters = stage - done
         assert iters > 0, "stages must be increasing"
-        rc = pascal_train_darknet.main([
-            "--iters", str(iters), "--batch-size", str(args.batch),
-            "--num-workers", "2", "--save-every", str(iters),
-            "--log-every", "50",
-            "--bn-momentum", str(args.bn_momentum)])
+        rc = pascal_train_darknet.main(
+            ["--iters", str(iters), "--batch-size", str(args.batch),
+             "--num-workers", "2", "--save-every", str(iters),
+             "--log-every", "50",
+             "--bn-momentum", str(args.bn_momentum)]
+            + (["--v2"] if args.v2 else []))
         assert rc == 0
         done = stage
 
-        params, stats = load_detector_params(yolo)
-        detect = make_detect_fn(yolo, params, stats, 0.005, use_nms=True)
+        if args.v2:
+            params, stats = load_detector_params(
+                yolo, network_name="darknet19_v2")
+        else:
+            params, stats = load_detector_params(yolo)
+        detect = make_detect_fn(yolo, params, stats, 0.005, use_nms=True,
+                                v2=args.v2)
         row = {"iters": stage}
         for split, set_name in (("train", "trainval"), ("val", "test")):
             imdb = PascalVOC(set_name, batch_size=8, yolo=yolo)

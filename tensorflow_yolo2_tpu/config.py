@@ -163,6 +163,26 @@ class YoloConfig:
                           for w, h in self.anchors))
 
 
+# Classic YOLOv2 VOC anchor priors in 13-grid cell units (the YOLO9000
+# k-means priors). The reference has no anchors at all (SURVEY caveat);
+# these back the --v2 head in the pascal entries.
+CLASSIC_VOC_ANCHORS = (
+    (1.3221, 1.73145), (3.19275, 4.00944), (5.05587, 8.09892),
+    (8.98282, 9.77052), (11.2364, 10.0071))
+
+
+def yolo_v2_config(image_size: int = 224) -> YoloConfig:
+    """Anchor-head ``YoloConfig`` at ``image_size`` (multiple of 32):
+    per-slot class logits, B=5 classic VOC priors rescaled from the
+    13-grid to this run's S = image_size/32 grid."""
+    S = image_size // 32
+    scale = S / 13.0
+    anchors = tuple((round(w * scale, 4), round(h * scale, 4))
+                    for w, h in CLASSIC_VOC_ANCHORS)
+    return YoloConfig(S=S, image_size=image_size, B=5,
+                      per_slot_classes=True, anchors=anchors)
+
+
 # ---------------------------------------------------------------------------
 # Training knob surface = union of the hard-coded per-script hypers and the
 # slim flag set (reference: train_image_classifier.py:57-370).

@@ -147,17 +147,8 @@ def main(argv: list[str] | None = None) -> int:
     if args.image_size % 32:
         p.error("--image-size must be a multiple of 32")
     if args.v2:
-        # anchors are stored in grid-cell units: rescale the classic
-        # 13-grid priors to THIS run's grid (S = image_size/32)
-        scale = (args.image_size // 32) / 13.0
-        anchors = tuple(
-            (round(w * scale, 4), round(h * scale, 4))
-            for w, h in ((1.3221, 1.73145), (3.19275, 4.00944),
-                         (5.05587, 8.09892), (8.98282, 9.77052),
-                         (11.2364, 10.0071)))
-        yolo = YoloConfig(S=args.image_size // 32,
-                          image_size=args.image_size, B=5,
-                          per_slot_classes=True, anchors=anchors)
+        from tensorflow_yolo2_tpu.config import yolo_v2_config
+        yolo = yolo_v2_config(args.image_size)
         params, stats = load_detector_params(
             yolo, args.tf_checkpoint, network_name="darknet19_v2")
     else:

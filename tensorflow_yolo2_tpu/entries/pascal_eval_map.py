@@ -28,6 +28,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--iou", type=float, default=0.5, help="match IoU")
     p.add_argument("--use-07-metric", action="store_true")
     p.add_argument("--max-images", type=int, default=None)
+    p.add_argument("--v2", action="store_true",
+                   help="evaluate an anchor-head snapshot "
+                        "(pascal_train_darknet --v2)")
     args = p.parse_args(argv)
 
     from tensorflow_yolo2_tpu.utils.jaxsetup import enable_compilation_cache
@@ -36,12 +39,18 @@ def main(argv: list[str] | None = None) -> int:
     from tensorflow_yolo2_tpu.data.voc import PascalVOC
 
     batch_size = args.batch_size or 32
-    yolo = YoloConfig()
+    if args.v2:
+        from tensorflow_yolo2_tpu.config import yolo_v2_config
+        yolo = yolo_v2_config()
+        params, stats = load_detector_params(
+            yolo, args.tf_checkpoint, network_name="darknet19_v2")
+    else:
+        yolo = YoloConfig()
+        params, stats = load_detector_params(yolo, args.tf_checkpoint)
     imdb = PascalVOC(args.image_set, batch_size=batch_size,
                      yolo=yolo, data_path=args.data_path)
-    params, stats = load_detector_params(yolo, args.tf_checkpoint)
     detect = make_detect_fn(yolo, params, stats, args.threshold,
-                            use_nms=True, nms_iou=args.nms_iou)
+                            use_nms=True, nms_iou=args.nms_iou, v2=args.v2)
     mAP, aps = run_eval(detect, imdb, yolo, iou=args.iou,
                         use_07_metric=args.use_07_metric,
                         max_images=args.max_images)

@@ -60,14 +60,8 @@ def main(argv: list[str] | None = None) -> int:
     dtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
 
     if args.v2:
-        # classic YOLOv2 VOC anchors (13-grid units), rescaled to S=7
-        scale = 7.0 / 13.0
-        anchors = tuple(
-            (round(w * scale, 4), round(h * scale, 4))
-            for w, h in ((1.3221, 1.73145), (3.19275, 4.00944),
-                         (5.05587, 8.09892), (8.98282, 9.77052),
-                         (11.2364, 10.0071)))
-        yolo = YoloConfig(B=5, per_slot_classes=True, anchors=anchors)
+        from tensorflow_yolo2_tpu.config import yolo_v2_config
+        yolo = yolo_v2_config()
         from tensorflow_yolo2_tpu.losses.yolo_v2 import yolo_v2_task
         task = yolo_v2_task(yolo)
         # the anchor head wants a linear output (no BN+leaky quirk)
