@@ -28,7 +28,6 @@ from tensorflow_yolo2_tpu.data.augment import image_read
 from tensorflow_yolo2_tpu.models.darknet import Darknet19Detector
 from tensorflow_yolo2_tpu.models.fold import fold_params
 from tensorflow_yolo2_tpu.ops.boxes import Detections
-from tensorflow_yolo2_tpu.ops.nms import nms_fixed
 from tensorflow_yolo2_tpu.ops.pallas_decode import (
     decode_grid_pallas,
     decode_nms_pallas,
@@ -98,20 +97,17 @@ def make_detect_fn(yolo: YoloConfig, params, batch_stats,
     @jax.jit
     def _detect(variables, images: jnp.ndarray) -> Detections:
         grid = model.apply(variables, images, train=False)
+        if use_nms:
+            # the fused Pallas decode+NMS serving kernel (same survivor
+            # set as decode_grid[_v2] + nms_fixed; dispatches on the
+            # head layout — per_slot_classes selects the anchor kernel)
+            return decode_nms_pallas(grid, yolo, object_thresh, nms_iou,
+                                     max_outputs=32)
         if v2:
             from tensorflow_yolo2_tpu.ops.boxes import decode_grid_v2
 
-            dets = jax.vmap(
+            return jax.vmap(
                 lambda g: decode_grid_v2(g, yolo, object_thresh))(grid)
-            if use_nms:
-                dets = jax.vmap(
-                    lambda d: nms_fixed(d, nms_iou, max_outputs=32))(dets)
-            return dets
-        if use_nms:
-            # the fused Pallas decode+NMS serving kernel (same survivor
-            # set as decode_grid_pallas + nms_fixed)
-            return decode_nms_pallas(grid, yolo, object_thresh, nms_iou,
-                                     max_outputs=32)
         return decode_grid_pallas(grid, yolo, object_thresh)
 
     def detect(images: jnp.ndarray) -> Detections:

@@ -15,7 +15,10 @@ Two kernels:
   by ``ops.nms.nms_fixed`` (K kept slots). The whole S·S·B-slot problem
   (98 boxes at 224², 392 at 448²) lives in VMEM; suppression is a
   K-step masked argmax sweep — no sort, no N×N IoU materialization, and
-  the host fetch shrinks from O(S·S·B) to O(K).
+  the host fetch shrinks from O(S·S·B) to O(K). For a
+  ``per_slot_classes`` (YOLOv2 anchor) config it dispatches to the
+  anchor-decode variant of the kernel (``decode_grid_v2`` + ``nms_fixed``
+  semantics: sigmoid xy, anchor-scaled exp wh, per-slot class softmax).
 
 The tensors are small, so these kernels' value is latency: single-image
 p50 is dominated by kernel-launch and HBM-round-trip overheads, which
@@ -117,20 +120,98 @@ def decode_grid_pallas(net: jnp.ndarray, cfg: YoloConfig,
     )
 
 
-def _decode_nms_kernel(net_ref, boxes_ref, scores_ref, classes_ref, *,
-                       S: int, B: int, C: int, thresh: float,
-                       iou_thresh: float, K: int, class_aware: bool):
-    """One image, channels-major layout: net (C+5B, S·S) → kept boxes.
+def _nms_sweep(boxes_ref, scores_ref, classes_ref, *,
+               x1, y1, x2, y2, sc, area, alive, cls, n_cells: int,
+               iou_thresh: float, K: int, class_aware: bool):
+    """Shared greedy-NMS tail of the fused kernels: per-slot row vectors
+    in, K kept slots out.
 
     Everything lives in per-slot (1, S·S) row vectors — Mosaic cannot
     concatenate row vectors with mismatched sublane/lane offsets, so the
     B box slots are never flattened; cross-slot selection goes through
-    scalar keys instead. The greedy NMS is a static K-step sweep of
-    masked max + vectorized suppression: no sort, no N×N IoU matrix.
+    scalar keys instead. The sweep is a static K-step masked max +
+    vectorized suppression: no sort, no N×N IoU matrix.
+    """
+    B = len(sc)
+    n = n_cells * B
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, n_cells), 1)
+    kslot = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
+    out_s = jnp.zeros((1, K), jnp.float32)
+    out_x1 = jnp.zeros((1, K), jnp.float32)
+    out_y1 = jnp.zeros((1, K), jnp.float32)
+    out_x2 = jnp.zeros((1, K), jnp.float32)
+    out_y2 = jnp.zeros((1, K), jnp.float32)
+    out_c = jnp.zeros((1, K), jnp.int32)
+
+    for k in range(K):  # static unroll: pick k-th survivor
+        m = jnp.float32(-1.0)
+        for b in range(B):
+            m = jnp.maximum(m, jnp.max(jnp.where(alive[b], sc[b], -1.0)))
+        valid = m > 0.0
+        # flat pick key = b·S·S + cell, lowest wins (deterministic
+        # tie-break: slot-major then cell order)
+        key = jnp.int32(n)
+        for b in range(B):
+            is_max = (sc[b] == m) & alive[b]
+            key = jnp.minimum(key, jnp.min(
+                jnp.where(is_max, lane + b * n_cells, n)))
+        # gather the picked box via per-slot one-hot masks
+        bx1 = by1 = bx2 = by2 = jnp.float32(0.0)
+        bcls = jnp.int32(0)
+        onehot = []
+        for b in range(B):
+            in_b = (key >= b * n_cells) & (key < (b + 1) * n_cells)
+            oh = in_b & (lane == key - b * n_cells)
+            onehot.append(oh)
+            bx1 = bx1 + jnp.sum(jnp.where(oh, x1[b], 0.0))
+            by1 = by1 + jnp.sum(jnp.where(oh, y1[b], 0.0))
+            bx2 = bx2 + jnp.sum(jnp.where(oh, x2[b], 0.0))
+            by2 = by2 + jnp.sum(jnp.where(oh, y2[b], 0.0))
+            bcls = bcls + jnp.sum(jnp.where(oh, cls[b], 0))
+        barea = (bx2 - bx1) * (by2 - by1)
+
+        slot = kslot == k
+        out_s = jnp.where(slot, jnp.where(valid, m, 0.0), out_s)
+        out_x1 = jnp.where(slot, bx1, out_x1)
+        out_y1 = jnp.where(slot, by1, out_y1)
+        out_x2 = jnp.where(slot, bx2, out_x2)
+        out_y2 = jnp.where(slot, by2, out_y2)
+        out_c = jnp.where(slot, bcls, out_c)
+
+        # vectorized suppression by the picked box, per slot
+        for b in range(B):
+            iw = jnp.maximum(
+                0.0, jnp.minimum(x2[b], bx2) - jnp.maximum(x1[b], bx1))
+            ih = jnp.maximum(
+                0.0, jnp.minimum(y2[b], by2) - jnp.maximum(y1[b], by1))
+            inter = iw * ih
+            iou = jnp.clip(
+                inter / jnp.maximum(area[b] + barea - inter, 1e-10),
+                0.0, 1.0)
+            kill = iou > iou_thresh
+            if class_aware:
+                kill = kill & (cls[b] == bcls)
+            alive[b] = alive[b] & ~((kill | onehot[b]) & valid)
+
+    scores_ref[0] = out_s
+    classes_ref[0] = out_c
+    boxes_ref[0, 0:1, :] = out_x1
+    boxes_ref[0, 1:2, :] = out_y1
+    boxes_ref[0, 2:3, :] = out_x2
+    boxes_ref[0, 3:4, :] = out_y2
+
+
+def _decode_nms_kernel(net_ref, boxes_ref, scores_ref, classes_ref, *,
+                       S: int, B: int, C: int, thresh: float,
+                       iou_thresh: float, K: int, class_aware: bool):
+    """One image, channels-major v1 layout: net (C+5B, S·S) → kept boxes.
+
+    Decode per reference net_utils.py:403-407 (grid offsets, w/h
+    squaring, per-cell class argmax, bare-confidence threshold), then
+    the shared greedy-NMS sweep.
     """
     net = net_ref[0].astype(jnp.float32)  # (C+5B, S*S)
     n_cells = S * S
-    n = n_cells * B
 
     cell = jax.lax.broadcasted_iota(jnp.int32, (1, n_cells), 1)
     row = (cell // S).astype(jnp.float32)  # y index
@@ -165,71 +246,73 @@ def _decode_nms_kernel(net_ref, boxes_ref, scores_ref, classes_ref, *,
         area.append(w * h)
         alive.append(s > 0.0)
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, n_cells), 1)
-    kslot = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
-    out_s = jnp.zeros((1, K), jnp.float32)
-    out_x1 = jnp.zeros((1, K), jnp.float32)
-    out_y1 = jnp.zeros((1, K), jnp.float32)
-    out_x2 = jnp.zeros((1, K), jnp.float32)
-    out_y2 = jnp.zeros((1, K), jnp.float32)
-    out_c = jnp.zeros((1, K), jnp.int32)
+    _nms_sweep(boxes_ref, scores_ref, classes_ref,
+               x1=x1, y1=y1, x2=x2, y2=y2, sc=sc, area=area, alive=alive,
+               cls=[cls_cell] * B, n_cells=n_cells,
+               iou_thresh=iou_thresh, K=K, class_aware=class_aware)
 
-    for k in range(K):  # static unroll: pick k-th survivor
-        m = jnp.float32(-1.0)
-        for b in range(B):
-            m = jnp.maximum(m, jnp.max(jnp.where(alive[b], sc[b], -1.0)))
-        valid = m > 0.0
-        # flat pick key = b·S·S + cell, lowest wins (deterministic
-        # tie-break: slot-major then cell order)
-        key = jnp.int32(n)
-        for b in range(B):
-            is_max = (sc[b] == m) & alive[b]
-            key = jnp.minimum(key, jnp.min(
-                jnp.where(is_max, lane + b * n_cells, n)))
-        # gather the picked box via per-slot one-hot masks
-        bx1 = by1 = bx2 = by2 = jnp.float32(0.0)
-        bcls = jnp.int32(0)
-        onehot = []
-        for b in range(B):
-            in_b = (key >= b * n_cells) & (key < (b + 1) * n_cells)
-            oh = in_b & (lane == key - b * n_cells)
-            onehot.append(oh)
-            bx1 = bx1 + jnp.sum(jnp.where(oh, x1[b], 0.0))
-            by1 = by1 + jnp.sum(jnp.where(oh, y1[b], 0.0))
-            bx2 = bx2 + jnp.sum(jnp.where(oh, x2[b], 0.0))
-            by2 = by2 + jnp.sum(jnp.where(oh, y2[b], 0.0))
-            bcls = bcls + jnp.sum(jnp.where(oh, cls_cell, 0))
-        barea = (bx2 - bx1) * (by2 - by1)
 
-        slot = kslot == k
-        out_s = jnp.where(slot, jnp.where(valid, m, 0.0), out_s)
-        out_x1 = jnp.where(slot, bx1, out_x1)
-        out_y1 = jnp.where(slot, by1, out_y1)
-        out_x2 = jnp.where(slot, bx2, out_x2)
-        out_y2 = jnp.where(slot, by2, out_y2)
-        out_c = jnp.where(slot, bcls, out_c)
+def _decode_nms_v2_kernel(net_ref, boxes_ref, scores_ref, classes_ref, *,
+                          S: int, B: int, C: int, thresh: float,
+                          iou_thresh: float, K: int, class_aware: bool,
+                          anchors: tuple):
+    """One image, channels-major per-slot layout: net (B·(5+C), S·S) →
+    kept boxes.
 
-        # vectorized suppression by the picked box, per slot
-        for b in range(B):
-            iw = jnp.maximum(
-                0.0, jnp.minimum(x2[b], bx2) - jnp.maximum(x1[b], bx1))
-            ih = jnp.maximum(
-                0.0, jnp.minimum(y2[b], by2) - jnp.maximum(y1[b], by1))
-            inter = iw * ih
-            iou = jnp.clip(
-                inter / jnp.maximum(area[b] + barea - inter, 1e-10),
-                0.0, 1.0)
-            kill = iou > iou_thresh
-            if class_aware:
-                kill = kill & (cls_cell == bcls)
-            alive[b] = alive[b] & ~((kill | onehot[b]) & valid)
+    The north-star anchor decode (ops.boxes.decode_grid_v2 semantics):
+    sigmoid xy + grid offsets, clamped exp wh × anchor priors, score =
+    sigmoid(conf) × max per-slot class softmax — the max softmax prob is
+    computed as 1/Σexp(l−l_max), one exp sweep, no full softmax — then
+    the shared greedy-NMS sweep.
+    """
+    net = net_ref[0].astype(jnp.float32)  # (B*(5+C), S*S)
+    n_cells = S * S
 
-    scores_ref[0] = out_s
-    classes_ref[0] = out_c
-    boxes_ref[0, 0:1, :] = out_x1
-    boxes_ref[0, 1:2, :] = out_y1
-    boxes_ref[0, 2:3, :] = out_x2
-    boxes_ref[0, 3:4, :] = out_y2
+    cell = jax.lax.broadcasted_iota(jnp.int32, (1, n_cells), 1)
+    row = (cell // S).astype(jnp.float32)  # y index
+    col = (cell % S).astype(jnp.float32)   # x index
+
+    x1, y1, x2, y2, sc, area, alive, cls = [], [], [], [], [], [], [], []
+    for b in range(B):  # static unroll over anchor slots
+        base = b * (5 + C)
+        raw = net[base: base + 4, :]        # (4, n_cells)
+        x = (jax.nn.sigmoid(raw[0:1, :]) + col) / float(S)
+        y = (jax.nn.sigmoid(raw[1:2, :]) + row) / float(S)
+        # clamp wh logits like grid_to_absolute_v2 (finite exp)
+        w = float(anchors[b][0]) * jnp.exp(
+            jnp.clip(raw[2:3, :], -8.0, 8.0)) / float(S)
+        h = float(anchors[b][1]) * jnp.exp(
+            jnp.clip(raw[3:4, :], -8.0, 8.0)) / float(S)
+        x1.append(x - w / 2.0)
+        y1.append(y - h / 2.0)
+        x2.append(x + w / 2.0)
+        y2.append(y + h / 2.0)
+        area.append(w * h)
+
+        # per-slot class argmax + max softmax prob over the C logit rows
+        best = net[base + 5: base + 6, :]
+        slot_cls = jnp.zeros((1, n_cells), jnp.int32)
+        for c in range(1, C):
+            v = net[base + 5 + c: base + 6 + c, :]
+            upd = v > best
+            slot_cls = jnp.where(upd, c, slot_cls)
+            best = jnp.where(upd, v, best)
+        denom = jnp.zeros((1, n_cells), jnp.float32)
+        for c in range(C):
+            denom = denom + jnp.exp(
+                net[base + 5 + c: base + 6 + c, :] - best)
+        cls.append(slot_cls)
+
+        conf = jax.nn.sigmoid(net[base + 4: base + 5, :])
+        score = conf / denom  # sigmoid(conf) × max softmax prob
+        s = jnp.where(score > thresh, score, 0.0)
+        sc.append(s)
+        alive.append(s > 0.0)
+
+    _nms_sweep(boxes_ref, scores_ref, classes_ref,
+               x1=x1, y1=y1, x2=x2, y2=y2, sc=sc, area=area, alive=alive,
+               cls=cls, n_cells=n_cells,
+               iou_thresh=iou_thresh, K=K, class_aware=class_aware)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -245,14 +328,12 @@ def decode_nms_pallas(net: jnp.ndarray, cfg: YoloConfig,
 
     Returns Detections with K = ``max_outputs`` kept slots per image,
     score-descending; suppressed/empty slots have score 0 (their box and
-    class values are unspecified). Equivalent survivor set/order to
-    ``decode_grid`` + ``ops.nms.nms_fixed`` (up to exact score ties).
+    class values are unspecified). Dispatches on the head layout:
+    ``cfg.per_slot_classes`` selects the v2 anchor kernel (equivalent to
+    ``decode_grid_v2`` + ``nms_fixed``), otherwise the v1 kernel
+    (equivalent to ``decode_grid`` + ``nms_fixed``), in both cases up to
+    exact score ties.
     """
-    if cfg.per_slot_classes:
-        raise ValueError(
-            "decode_nms_pallas implements the v1 [C | B conf | boxes] "
-            "layout; per-slot (v2 anchor) heads decode via "
-            "ops.boxes.decode_grid_v2")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     S, B, C = cfg.S, cfg.B, cfg.num_class
@@ -263,9 +344,16 @@ def decode_nms_pallas(net: jnp.ndarray, cfg: YoloConfig,
     flat = jnp.transpose(net.reshape(batch, n_cells, cfg.cell_channels),
                          (0, 2, 1))
 
-    kernel = functools.partial(
-        _decode_nms_kernel, S=S, B=B, C=C, thresh=float(object_thresh),
-        iou_thresh=float(iou_thresh), K=K, class_aware=class_aware)
+    if cfg.per_slot_classes:
+        anchors = cfg.anchors if cfg.anchors else ((1.0, 1.0),) * B
+        kernel = functools.partial(
+            _decode_nms_v2_kernel, S=S, B=B, C=C,
+            thresh=float(object_thresh), iou_thresh=float(iou_thresh),
+            K=K, class_aware=class_aware, anchors=anchors)
+    else:
+        kernel = functools.partial(
+            _decode_nms_kernel, S=S, B=B, C=C, thresh=float(object_thresh),
+            iou_thresh=float(iou_thresh), K=K, class_aware=class_aware)
     boxes, scores, classes = pl.pallas_call(
         kernel,
         grid=(batch,),
