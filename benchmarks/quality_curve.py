@@ -41,9 +41,11 @@ def main() -> None:
                          "the generalization sanity point")
     ap.add_argument("--v2", action="store_true",
                     help="train/eval the anchor head (pascal_train_darknet"
-                         " --v2) — B=5 per-slot classes handle the hard "
-                         "fixture's multiple-objects-per-cell scenes that "
-                         "the YOLOv1 one-object-per-cell grid cannot")
+                         " --v2) — B=5 anchor priors fit the hard "
+                         "fixture's varied box scales/aspects better than "
+                         "the YOLOv1 square-root regression (note: the "
+                         "label grid still supervises one object per "
+                         "cell in both modes, data/voc.build_label_grid)")
     args = ap.parse_args()
     stages = [int(s) for s in args.stages.split(",")]
 

@@ -157,9 +157,11 @@ class YoloConfig:
         if S == self.S:
             return self
         factor = S / self.S
+        # no rounding: yolo_v2_config(32*S) and yolo_v2_config().at_scale(S)
+        # must produce bit-identical anchors (train/serve consistency)
         return dataclasses.replace(
             self, S=S, image_size=self.image_size * S // self.S,
-            anchors=tuple((round(w * factor, 4), round(h * factor, 4))
+            anchors=tuple((w * factor, h * factor)
                           for w, h in self.anchors))
 
 
@@ -177,8 +179,7 @@ def yolo_v2_config(image_size: int = 224) -> YoloConfig:
     13-grid to this run's S = image_size/32 grid."""
     S = image_size // 32
     scale = S / 13.0
-    anchors = tuple((round(w * scale, 4), round(h * scale, 4))
-                    for w, h in CLASSIC_VOC_ANCHORS)
+    anchors = tuple((w * scale, h * scale) for w, h in CLASSIC_VOC_ANCHORS)
     return YoloConfig(S=S, image_size=image_size, B=5,
                       per_slot_classes=True, anchors=anchors)
 

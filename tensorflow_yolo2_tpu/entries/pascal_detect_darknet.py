@@ -75,6 +75,13 @@ def make_detect_fn(yolo: YoloConfig, params, batch_stats,
     ``v2`` selects the anchor head layout + decode (sigmoid-xy/exp-wh,
     per-slot class softmax) matching pascal_train_darknet --v2.
     """
+    if v2 != yolo.per_slot_classes:
+        raise ValueError(
+            f"v2={v2} disagrees with yolo.per_slot_classes="
+            f"{yolo.per_slot_classes}: the anchor head needs a "
+            "per-slot config (config.yolo_v2_config), the v1 head a "
+            "plain YoloConfig — a mismatch would silently decode with "
+            "the wrong kernel")
     bn_on_output = not v2
     if fold_bn and batch_stats:
         variables = {"params": fold_params(params, batch_stats)}

@@ -324,7 +324,9 @@ def decode_nms_pallas(net: jnp.ndarray, cfg: YoloConfig,
                       max_outputs: int = 32,
                       class_aware: bool = True,
                       interpret: bool | None = None) -> Detections:
-    """Fused decode + greedy class-aware NMS of a (batch, S, S, 5B+C) grid.
+    """Fused decode + greedy class-aware NMS of a (batch, S, S, cc) grid,
+    where cc = ``cfg.cell_channels`` (5B+C for the v1 layout, B·(5+C)
+    for a ``per_slot_classes`` anchor head).
 
     Returns Detections with K = ``max_outputs`` kept slots per image,
     score-descending; suppressed/empty slots have score 0 (their box and
