@@ -430,6 +430,72 @@ def import_inception_v3_checkpoint(path: str, scope: str = "InceptionV3"):
 
 
 # ---------------------------------------------------------------------------
+# slim inception_v1 (named mapping)
+# ---------------------------------------------------------------------------
+
+# slim block scope → our _MixedV1 submodule (reference inception_v1.py:83-245)
+_IV1_BRANCHES = {
+    "Branch_0/Conv2d_0a_1x1": "b0",
+    "Branch_1/Conv2d_0a_1x1": "b1a",
+    "Branch_1/Conv2d_0b_3x3": "b1b",
+    "Branch_2/Conv2d_0a_1x1": "b2a",
+    "Branch_2/Conv2d_0b_3x3": "b2b",
+    "Branch_3/Conv2d_0b_1x1": "b3",
+}
+
+# slim Mixed_* names → our paper-style mixed_* names (same topology; the
+# slim numbering counts the stage's pool as chunk "a")
+_IV1_BLOCKS = {
+    "Mixed_3b": "mixed_3a", "Mixed_3c": "mixed_3b",
+    "Mixed_4b": "mixed_4a", "Mixed_4c": "mixed_4b",
+    "Mixed_4d": "mixed_4c", "Mixed_4e": "mixed_4d",
+    "Mixed_4f": "mixed_4e",
+    "Mixed_5b": "mixed_5a", "Mixed_5c": "mixed_5b",
+}
+
+
+def import_inception_v1_checkpoint(path: str, scope: str = "InceptionV1"):
+    """Import a slim inception_v1 checkpoint → (params, batch_stats) for
+    models.inception.InceptionV1.
+
+    Covers slim's released-checkpoint warm-start for the
+    finetune_inception_v1_on_flowers recipe
+    (reference scripts/finetune_inception_v1_on_flowers.sh and
+    _get_init_fn, yolo1-resnet-adv.py:146-189).
+    """
+    var_map = load_tf_checkpoint(path)
+    params: dict[str, Any] = {}
+    stats: dict[str, Any] = {}
+
+    for suffix, dst in (("Conv2d_1a_7x7", "conv1"),
+                        ("Conv2d_2b_1x1", "conv2"),
+                        ("Conv2d_2c_3x3", "conv3")):
+        params[dst], stats[dst] = _slim_conv_bn_noscale(
+            var_map, f"{scope}/{suffix}")
+
+    for src, dst in _IV1_BLOCKS.items():
+        p: dict[str, Any] = {}
+        s: dict[str, Any] = {}
+        for suffix, name in _IV1_BRANCHES.items():
+            if src == "Mixed_5b" and suffix == "Branch_2/Conv2d_0b_3x3":
+                # slim naming quirk: Mixed_5b's second Branch_2 conv is
+                # scoped Conv2d_0a_3x3 (reference inception_v1.py:221)
+                suffix = "Branch_2/Conv2d_0a_3x3"
+            p[name], s[name] = _slim_conv_bn_noscale(
+                var_map, f"{scope}/{src}/{suffix}")
+        params[dst] = p
+        stats[dst] = s
+
+    logits_key = f"{scope}/Logits/Conv2d_0c_1x1/weights"
+    if logits_key in var_map:
+        k = var_map[logits_key]  # slim 1×1-conv logits → our Dense head
+        params["logits"] = {
+            "kernel": k.reshape(k.shape[-2], k.shape[-1]),
+            "bias": var_map[f"{scope}/Logits/Conv2d_0c_1x1/biases"]}
+    return params, stats
+
+
+# ---------------------------------------------------------------------------
 # slim vgg family (named mapping)
 # ---------------------------------------------------------------------------
 
@@ -484,6 +550,7 @@ _IMPORTERS = {
     "darknet19": lambda p: import_darknet19_checkpoint(p, detection=False),
     "darknet19_detection": import_darknet19_checkpoint,
     "resnet_v1_50": import_resnet50_checkpoint,
+    "inception_v1": import_inception_v1_checkpoint,
     "inception_v3": import_inception_v3_checkpoint,
     "inception_resnet_v2": import_inception_resnet_v2_checkpoint,
     "vgg_a": lambda p: import_vgg_checkpoint(p, "vgg_a"),

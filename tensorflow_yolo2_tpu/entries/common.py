@@ -50,6 +50,7 @@ def bootstrap_state(trainer: Trainer, mgr: CheckpointManager,
                     rng: jax.Array, sample_images: np.ndarray,
                     warm_start_dir: Optional[str] = None,
                     warm_start_exclude: tuple[str, ...] = (),
+                    warm_start_tree: Optional[tuple[Any, Any]] = None,
                     params_override: Any = None,
                     batch_stats_override: Any = None,
                     info: Optional[dict] = None) -> tuple[TrainState, int]:
@@ -57,7 +58,9 @@ def bootstrap_state(trainer: Trainer, mgr: CheckpointManager,
 
     1. newest checkpoint under this run's dir → exact resume;
     2. otherwise warm-start params from ``warm_start_dir`` (another run's
-       snapshot) minus excluded scopes;
+       snapshot) minus excluded scopes — or from ``warm_start_tree``, an
+       already-loaded (params, batch_stats) pair (e.g. a TF-checkpoint
+       import; slim's _get_init_fn with checkpoint_exclude_scopes);
     3. otherwise fresh init (or explicit overrides, e.g. TF import).
 
     ``info`` (if given) receives restore diagnostics — currently
@@ -102,6 +105,15 @@ def bootstrap_state(trainer: Trainer, mgr: CheckpointManager,
                                       warm_start_exclude)
         print(f"Warm-started {n} tensors from {warm_start_dir}")
         state = trainer.shard_state(state.replace(params=params))
+    elif warm_start_tree is not None:
+        params, n = merge_pytrees(state.params, warm_start_tree[0],
+                                  warm_start_exclude)
+        stats, m = merge_pytrees(state.batch_stats, warm_start_tree[1],
+                                 warm_start_exclude)
+        print(f"Warm-started {n} param + {m} batch-stat tensors from "
+              "imported checkpoint")
+        state = trainer.shard_state(
+            state.replace(params=params, batch_stats=stats))
     return state, 0
 
 

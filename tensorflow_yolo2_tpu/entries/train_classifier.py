@@ -13,6 +13,8 @@ double buffer.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -138,9 +140,21 @@ def main(argv: list[str] | None = None) -> int:
     exclude = (tuple(s.strip()
                      for s in args.checkpoint_exclude_scopes.split(","))
                if args.checkpoint_exclude_scopes else ())
+    # slim's _get_init_fn accepts released TF zoo checkpoints directly
+    # (train_image_classifier.py:372-398); a TF ckpt is a file prefix
+    # (path or path.index), a framework snapshot is an Orbax directory
+    warm_dir, warm_tree = args.checkpoint_path, None
+    if warm_dir and not os.path.isdir(warm_dir):
+        from tensorflow_yolo2_tpu.compat.tf_import import (
+            import_checkpoint_for,
+        )
+        warm_tree = import_checkpoint_for(args.model_name, warm_dir)
+        print(f"Imported TF checkpoint {warm_dir}")
+        warm_dir = None
     state, start = common.bootstrap_state(
         trainer, mgr, jax.random.PRNGKey(args.seed), sample[:1],
-        warm_start_dir=args.checkpoint_path, warm_start_exclude=exclude)
+        warm_start_dir=warm_dir, warm_start_exclude=exclude,
+        warm_start_tree=warm_tree)
 
     state = common.run_train_loop(
         trainer, state, imdb.get, mgr, writer, start_iter=start,

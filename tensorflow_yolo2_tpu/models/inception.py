@@ -131,7 +131,7 @@ class InceptionV1(nn.Module):
             ("4b", 160, (112, 224), (24, 64), 64),
             ("4c", 128, (128, 256), (24, 64), 64),
             ("4d", 112, (144, 288), (32, 64), 64),
-            ("4e", 256, (160, 320), (32, 128), 128), ("pool", 0, 0, 0, 0),
+            ("4e", 256, (160, 320), (32, 128), 128), ("pool2", 0, 0, 0, 0),
             ("5a", 256, (160, 320), (32, 128), 128),
             ("5b", 384, (192, 384), (48, 128), 128),
         ]
@@ -139,6 +139,11 @@ class InceptionV1(nn.Module):
         for name, b0, b1, b2, b3 in specs:
             if name == "pool":
                 x = nn.max_pool(x, (3, 3), (2, 2), "SAME")
+            elif name == "pool2":
+                # slim's last inter-stage pool is 2×2, not 3×3
+                # (MaxPool_5a_2x2, reference inception_v1.py:207-208) —
+                # required for TF-checkpoint forward parity
+                x = nn.max_pool(x, (2, 2), (2, 2), "SAME")
             else:
                 x = _MixedV1(b0, b1, b2, b3, dtype=self.dtype,
                              name=f"mixed_{name}")(x, train)
