@@ -46,6 +46,14 @@ def main() -> None:
                          "the YOLOv1 square-root regression (note: the "
                          "label grid still supervises one object per "
                          "cell in both modes, data/voc.build_label_grid)")
+    ap.add_argument("--pretrain-iters", type=int, default=0,
+                    help="first pretrain the darknet19 classifier for N "
+                         "iterations on a synthetic CLS-LOC tree of the "
+                         "same object vocabulary (synthetic."
+                         "make_cls_pretrain), so the detection stages "
+                         "warm-start from it — the reference's "
+                         "ImageNet→VOC workflow "
+                         "(pascal_train_darknet.py:83)")
     args = ap.parse_args()
     stages = [int(s) for s in args.stages.split(",")]
 
@@ -72,6 +80,23 @@ def main() -> None:
               f"({args.n_train} train / {args.n_val} val)")
         synthetic.make_voc_hard(voc_root, n_train=args.n_train,
                                 n_val=args.n_val, easy=args.easy)
+
+    if args.pretrain_iters:
+        ilsvrc_root = os.path.join(paths.root, "data", "ILSVRC")
+        if not os.path.exists(os.path.join(ilsvrc_root, "ImageSets",
+                                           "CLS-LOC", "train_cls.txt")):
+            print(f"generating classification pretrain set at {ilsvrc_root}")
+            synthetic.make_cls_pretrain(ilsvrc_root)
+        from tensorflow_yolo2_tpu.entries import imagenet_train_darknet
+        rc = imagenet_train_darknet.main(
+            ["--iters", str(args.pretrain_iters), "--batch-size", "48",
+             "--num-workers", "2", "--log-every", "50",
+             "--eval-every", "100",
+             "--save-every", str(args.pretrain_iters)])
+        assert rc == 0
+        # pascal_train_darknet discovers the snapshot automatically
+        # (warm-start by variable intersection, the net_utils.py:81-101
+        # path); nothing else to wire
 
     if args.v2:
         from tensorflow_yolo2_tpu.config import yolo_v2_config

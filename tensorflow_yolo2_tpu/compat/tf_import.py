@@ -174,6 +174,119 @@ def import_resnet50_checkpoint(path: str, scope: str = "resnet_v1_50"):
     return params, stats
 
 
+_RESNET_UNITS = {
+    "resnet_v1_50": (3, 4, 6, 3), "resnet_v1_101": (3, 4, 23, 3),
+    "resnet_v1_152": (3, 8, 36, 3), "resnet_v1_200": (3, 24, 36, 3),
+    "resnet_v2_50": (3, 4, 6, 3), "resnet_v2_101": (3, 4, 23, 3),
+    "resnet_v2_152": (3, 8, 36, 3), "resnet_v2_200": (3, 24, 36, 3),
+}
+
+
+def import_resnet_v1_checkpoint(path: str, scope: str):
+    """Import any slim resnet_v1 depth (50/101/152/200 by scope name) →
+    (params, batch_stats) for models.zoo.ResNetV1 (Dense logits head).
+
+    Same variable naming as resnet_v1_50 (slim resnet_v1.py:119-217);
+    only the per-block unit counts differ. The ResNet50V1 module keeps
+    its own conv-logits importer (import_resnet50_checkpoint)."""
+    var_map = load_tf_checkpoint(path)
+    units = _RESNET_UNITS[scope]
+    params: dict[str, Any] = {}
+    stats: dict[str, Any] = {}
+
+    params["conv1"] = {"kernel": var_map[f"{scope}/conv1/weights"]}
+    bnp, bns = _slim_bn(var_map, f"{scope}/conv1")
+    params["conv1_bn"] = {"bn": bnp}
+    stats["conv1_bn"] = {"bn": bns}
+
+    for bi, n in enumerate(units, start=1):
+        for ui in range(1, n + 1):
+            src = f"{scope}/block{bi}/unit_{ui}/bottleneck_v1"
+            dst = f"block{bi}_unit{ui}"
+            p: dict[str, Any] = {}
+            s: dict[str, Any] = {}
+            for ci in (1, 2, 3):
+                p[f"conv{ci}"] = {
+                    "kernel": var_map[f"{src}/conv{ci}/weights"]}
+                bnp, bns = _slim_bn(var_map, f"{src}/conv{ci}")
+                p[f"bn{ci}"] = {"bn": bnp}
+                s[f"bn{ci}"] = {"bn": bns}
+            sc_key = f"{src}/shortcut/weights"
+            if sc_key in var_map:
+                p["shortcut_conv"] = {"kernel": var_map[sc_key]}
+                bnp, bns = _slim_bn(var_map, f"{src}/shortcut")
+                p["shortcut_bn"] = {"bn": bnp}
+                s["shortcut_bn"] = {"bn": bns}
+            params[dst] = p
+            stats[dst] = s
+
+    logits_key = f"{scope}/logits/weights"
+    if logits_key in var_map:
+        k = var_map[logits_key]  # slim 1×1-conv logits → Dense head
+        params["logits"] = {"kernel": k.reshape(k.shape[-2], k.shape[-1]),
+                            "bias": var_map[f"{scope}/logits/biases"]}
+    return params, stats
+
+
+def import_resnet_v2_checkpoint(path: str, scope: str):
+    """Import any slim resnet_v2 depth (pre-activation family) →
+    (params, batch_stats) for models.resnet_v2.ResNetV2.
+
+    v2 quirks (reference resnet_v2.py:90-107,196-200): the root conv,
+    projection shortcuts and conv3 have biases and no BN; each unit
+    carries a ``preact`` BN and the trunk ends in ``postnorm``."""
+    var_map = load_tf_checkpoint(path)
+    units = _RESNET_UNITS[scope]
+    params: dict[str, Any] = {}
+    stats: dict[str, Any] = {}
+
+    params["conv1"] = {"kernel": var_map[f"{scope}/conv1/weights"],
+                       "bias": var_map[f"{scope}/conv1/biases"]}
+
+    def bare_bn(prefix: str):
+        p = {"scale": var_map[f"{prefix}/gamma"],
+             "bias": var_map[f"{prefix}/beta"]}
+        s = {"mean": var_map[f"{prefix}/moving_mean"],
+             "var": var_map[f"{prefix}/moving_variance"]}
+        return p, s
+
+    for bi, n in enumerate(units, start=1):
+        for ui in range(1, n + 1):
+            src = f"{scope}/block{bi}/unit_{ui}/bottleneck_v2"
+            dst = f"block{bi}_unit{ui}"
+            p: dict[str, Any] = {}
+            s: dict[str, Any] = {}
+            bnp, bns = bare_bn(f"{src}/preact")
+            p["preact_bn"] = {"bn": bnp}
+            s["preact_bn"] = {"bn": bns}
+            for ci in (1, 2):
+                p[f"conv{ci}"] = {
+                    "kernel": var_map[f"{src}/conv{ci}/weights"]}
+                bnp, bns = _slim_bn(var_map, f"{src}/conv{ci}")
+                p[f"bn{ci}"] = {"bn": bnp}
+                s[f"bn{ci}"] = {"bn": bns}
+            p["conv3"] = {"kernel": var_map[f"{src}/conv3/weights"],
+                          "bias": var_map[f"{src}/conv3/biases"]}
+            sc_key = f"{src}/shortcut/weights"
+            if sc_key in var_map:
+                p["shortcut_conv"] = {
+                    "kernel": var_map[sc_key],
+                    "bias": var_map[f"{src}/shortcut/biases"]}
+            params[dst] = p
+            stats[dst] = s
+
+    bnp, bns = bare_bn(f"{scope}/postnorm")
+    params["postnorm"] = {"bn": bnp}
+    stats["postnorm"] = {"bn": bns}
+
+    logits_key = f"{scope}/logits/weights"
+    if logits_key in var_map:
+        k = var_map[logits_key]
+        params["logits"] = {"kernel": k.reshape(k.shape[-2], k.shape[-1]),
+                            "bias": var_map[f"{scope}/logits/biases"]}
+    return params, stats
+
+
 # ---------------------------------------------------------------------------
 # slim inception_resnet_v2 (named mapping)
 # ---------------------------------------------------------------------------
@@ -496,6 +609,171 @@ def import_inception_v1_checkpoint(path: str, scope: str = "InceptionV1"):
 
 
 # ---------------------------------------------------------------------------
+# slim inception_v2 (named mapping)
+# ---------------------------------------------------------------------------
+
+# mixed-block branch scope → _MixedV2 submodule (reference
+# inception_v2.py:122-409); reductions use the 2-branch layout
+# (:182-203, :328-349)
+_IV2_BRANCHES = {
+    "Branch_0/Conv2d_0a_1x1": "b0",
+    "Branch_1/Conv2d_0a_1x1": "b1a", "Branch_1/Conv2d_0b_3x3": "b1b",
+    "Branch_2/Conv2d_0a_1x1": "b2a", "Branch_2/Conv2d_0b_3x3": "b2b",
+    "Branch_2/Conv2d_0c_3x3": "b2c",
+    "Branch_3/Conv2d_0b_1x1": "b3",
+}
+_IV2_REDUCTION = {
+    "Branch_0/Conv2d_0a_1x1": "b0a", "Branch_0/Conv2d_1a_3x3": "b0b",
+    "Branch_1/Conv2d_0a_1x1": "b1a", "Branch_1/Conv2d_0b_3x3": "b1b",
+    "Branch_1/Conv2d_1a_3x3": "b1c",
+}
+
+
+def import_inception_v2_checkpoint(path: str, scope: str = "InceptionV2"):
+    """Import a slim inception_v2 checkpoint → (params, batch_stats) for
+    models.inception.InceptionV2 (slim zoo warm-start capability,
+    nets_factory.py:35-55 + _get_init_fn)."""
+    var_map = load_tf_checkpoint(path)
+    params: dict[str, Any] = {}
+    stats: dict[str, Any] = {}
+
+    # separable 7×7 stem (reference inception_v2.py:84-98): TF depthwise
+    # kernels are [kh, kw, in, mult]; Flax grouped conv wants
+    # [kh, kw, 1, in*mult] with the same in-major channel order
+    dw = var_map[f"{scope}/Conv2d_1a_7x7/depthwise_weights"]
+    kh, kw, cin, mult = dw.shape
+    params["conv1"] = {
+        "depthwise": {"kernel": dw.reshape(kh, kw, 1, cin * mult)},
+        "pointwise": {
+            "kernel": var_map[f"{scope}/Conv2d_1a_7x7/pointwise_weights"]},
+        "bn": {"bias": var_map[f"{scope}/Conv2d_1a_7x7/BatchNorm/beta"]},
+    }
+    stats["conv1"] = {"bn": {
+        "mean": var_map[f"{scope}/Conv2d_1a_7x7/BatchNorm/moving_mean"],
+        "var": var_map[f"{scope}/Conv2d_1a_7x7/BatchNorm/moving_variance"]}}
+
+    for suffix, dst in (("Conv2d_2b_1x1", "conv2b"),
+                        ("Conv2d_2c_3x3", "conv2c")):
+        params[dst], stats[dst] = _slim_conv_bn_noscale(
+            var_map, f"{scope}/{suffix}")
+
+    reductions = ("Mixed_4a", "Mixed_5a")
+    for src in ("Mixed_3b", "Mixed_3c", "Mixed_4a", "Mixed_4b", "Mixed_4c",
+                "Mixed_4d", "Mixed_4e", "Mixed_5a", "Mixed_5b", "Mixed_5c"):
+        branches = _IV2_REDUCTION if src in reductions else _IV2_BRANCHES
+        p: dict[str, Any] = {}
+        s: dict[str, Any] = {}
+        for suffix, name in branches.items():
+            p[name], s[name] = _slim_conv_bn_noscale(
+                var_map, f"{scope}/{src}/{suffix}")
+        dst = f"mixed_{src[6:].lower()}"
+        params[dst] = p
+        stats[dst] = s
+
+    logits_key = f"{scope}/Logits/Conv2d_1c_1x1/weights"
+    if logits_key in var_map:
+        k = var_map[logits_key]  # slim 1×1-conv logits → our Dense head
+        params["logits"] = {
+            "kernel": k.reshape(k.shape[-2], k.shape[-1]),
+            "bias": var_map[f"{scope}/Logits/Conv2d_1c_1x1/biases"]}
+    return params, stats
+
+
+# ---------------------------------------------------------------------------
+# slim inception_v4 (named mapping)
+# ---------------------------------------------------------------------------
+
+# stem convs (reference inception_v4.py:176-221)
+_IV4_STEM = (
+    ("Conv2d_1a_3x3", "s1"), ("Conv2d_2a_3x3", "s2"),
+    ("Conv2d_2b_3x3", "s3"),
+    ("Mixed_3a/Branch_1/Conv2d_0a_3x3", "s4"),
+    ("Mixed_4a/Branch_0/Conv2d_0a_1x1", "s5a"),
+    ("Mixed_4a/Branch_0/Conv2d_1a_3x3", "s5b"),
+    ("Mixed_4a/Branch_1/Conv2d_0a_1x1", "s6a"),
+    ("Mixed_4a/Branch_1/Conv2d_0b_1x7", "s6b"),
+    ("Mixed_4a/Branch_1/Conv2d_0c_7x1", "s6c"),
+    ("Mixed_4a/Branch_1/Conv2d_1a_3x3", "s6d"),
+    ("Mixed_5a/Branch_0/Conv2d_1a_3x3", "s7"),
+)
+# per-family branch scope → our flat a{i}_/b{i}_/c{i}_ names (reference
+# inception_v4.py:34-143)
+_IV4_A = {
+    "Branch_0/Conv2d_0a_1x1": "b0",
+    "Branch_1/Conv2d_0a_1x1": "b1a", "Branch_1/Conv2d_0b_3x3": "b1b",
+    "Branch_2/Conv2d_0a_1x1": "b2a", "Branch_2/Conv2d_0b_3x3": "b2b",
+    "Branch_2/Conv2d_0c_3x3": "b2c",
+    "Branch_3/Conv2d_0b_1x1": "b3",
+}
+_IV4_B = {
+    "Branch_0/Conv2d_0a_1x1": "b0",
+    "Branch_1/Conv2d_0a_1x1": "b1a", "Branch_1/Conv2d_0b_1x7": "b1b",
+    "Branch_1/Conv2d_0c_7x1": "b1c",
+    "Branch_2/Conv2d_0a_1x1": "b2a", "Branch_2/Conv2d_0b_7x1": "b2b",
+    "Branch_2/Conv2d_0c_1x7": "b2c", "Branch_2/Conv2d_0d_7x1": "b2d",
+    "Branch_2/Conv2d_0e_1x7": "b2e",
+    "Branch_3/Conv2d_0b_1x1": "b3",
+}
+_IV4_C = {
+    "Branch_0/Conv2d_0a_1x1": "b0",
+    "Branch_1/Conv2d_0a_1x1": "b1a", "Branch_1/Conv2d_0b_1x3": "b1b",
+    "Branch_1/Conv2d_0c_3x1": "b1c",
+    "Branch_2/Conv2d_0a_1x1": "b2a", "Branch_2/Conv2d_0b_3x1": "b2b",
+    "Branch_2/Conv2d_0c_1x3": "b2c", "Branch_2/Conv2d_0d_1x3": "b2d",
+    "Branch_2/Conv2d_0e_3x1": "b2e",
+    "Branch_3/Conv2d_0b_1x1": "b3",
+}
+_IV4_REDA = {
+    "Mixed_6a/Branch_0/Conv2d_1a_3x3": "redA_b0",
+    "Mixed_6a/Branch_1/Conv2d_0a_1x1": "redA_b1a",
+    "Mixed_6a/Branch_1/Conv2d_0b_3x3": "redA_b1b",
+    "Mixed_6a/Branch_1/Conv2d_1a_3x3": "redA_b1c",
+}
+_IV4_REDB = {
+    "Mixed_7a/Branch_0/Conv2d_0a_1x1": "redB_b0a",
+    "Mixed_7a/Branch_0/Conv2d_1a_3x3": "redB_b0b",
+    "Mixed_7a/Branch_1/Conv2d_0a_1x1": "redB_b1a",
+    "Mixed_7a/Branch_1/Conv2d_0b_1x7": "redB_b1b",
+    "Mixed_7a/Branch_1/Conv2d_0c_7x1": "redB_b1c",
+    "Mixed_7a/Branch_1/Conv2d_1a_3x3": "redB_b1d",
+}
+
+
+def import_inception_v4_checkpoint(path: str, scope: str = "InceptionV4"):
+    """Import a slim inception_v4 checkpoint → (params, batch_stats) for
+    models.inception.InceptionV4. AuxLogits variables are skipped (the
+    Flax v4 has no aux tower; the merge intersection drops nothing else)."""
+    var_map = load_tf_checkpoint(path)
+    params: dict[str, Any] = {}
+    stats: dict[str, Any] = {}
+
+    def take(suffix: str, dst: str):
+        params[dst], stats[dst] = _slim_conv_bn_noscale(
+            var_map, f"{scope}/{suffix}")
+
+    for suffix, dst in _IV4_STEM:
+        take(suffix, dst)
+    for flat in (_IV4_REDA, _IV4_REDB):
+        for suffix, dst in flat.items():
+            take(suffix, dst)
+    towers = (("5", 4, _IV4_A, "a"), ("6", 7, _IV4_B, "b"),
+              ("7", 3, _IV4_C, "c"))
+    for stage, count, branches, prefix in towers:
+        for i in range(count):
+            src = f"Mixed_{stage}{chr(ord('b') + i)}"
+            for suffix, name in branches.items():
+                take(f"{src}/{suffix}", f"{prefix}{i}_{name}")
+
+    logits_key = f"{scope}/Logits/Logits/weights"
+    if logits_key in var_map:
+        # slim.fully_connected: 2-D (in, out) kernel, same as our Dense
+        params["logits"] = {
+            "kernel": var_map[logits_key],
+            "bias": var_map[f"{scope}/Logits/Logits/biases"]}
+    return params, stats
+
+
+# ---------------------------------------------------------------------------
 # slim vgg family (named mapping)
 # ---------------------------------------------------------------------------
 
@@ -551,12 +829,21 @@ _IMPORTERS = {
     "darknet19_detection": import_darknet19_checkpoint,
     "resnet_v1_50": import_resnet50_checkpoint,
     "inception_v1": import_inception_v1_checkpoint,
+    "inception_v2": import_inception_v2_checkpoint,
     "inception_v3": import_inception_v3_checkpoint,
+    "inception_v4": import_inception_v4_checkpoint,
     "inception_resnet_v2": import_inception_resnet_v2_checkpoint,
     "vgg_a": lambda p: import_vgg_checkpoint(p, "vgg_a"),
     "vgg_16": lambda p: import_vgg_checkpoint(p, "vgg_16"),
     "vgg_19": lambda p: import_vgg_checkpoint(p, "vgg_19"),
 }
+for _name in ("resnet_v1_101", "resnet_v1_152", "resnet_v1_200"):
+    _IMPORTERS[_name] = (
+        lambda p, _s=_name: import_resnet_v1_checkpoint(p, _s))
+for _name in ("resnet_v2_50", "resnet_v2_101", "resnet_v2_152",
+              "resnet_v2_200"):
+    _IMPORTERS[_name] = (
+        lambda p, _s=_name: import_resnet_v2_checkpoint(p, _s))
 
 
 def import_checkpoint_for(model_name: str, path: str):

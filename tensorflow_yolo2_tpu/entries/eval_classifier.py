@@ -62,12 +62,31 @@ def main(argv: list[str] | None = None) -> int:
     get_batch = getattr(imdb, "get_val", imdb.get)
     sample, _ = get_batch()
     info: dict = {}
-    state, step = common.bootstrap_state(trainer, mgr,
-                                         jax.random.PRNGKey(0), sample[:1],
-                                         info=info)
-    if step == 0 and mgr.latest_step() is None:
-        print("WARNING: no snapshot found under "
-              f"{mgr.dir} — evaluating freshly-initialized weights")
+    if args.tf_checkpoint:
+        # slim's eval_image_classifier evaluates a released TF checkpoint
+        # directly (--checkpoint_path, eval_image_classifier.py:40-43) —
+        # import it and score exactly those weights, no snapshot lookup
+        from tensorflow_yolo2_tpu.compat.tf_import import (
+            import_checkpoint_for,
+        )
+        from tensorflow_yolo2_tpu.train.checkpoint import merge_pytrees
+        tf_params, tf_stats = import_checkpoint_for(args.model_name,
+                                                    args.tf_checkpoint)
+        state = trainer.create_state(jax.random.PRNGKey(0), sample[:1])
+        params, n = merge_pytrees(state.params, tf_params)
+        stats, m = merge_pytrees(state.batch_stats, tf_stats)
+        state = trainer.shard_state(
+            state.replace(params=params, batch_stats=stats))
+        step = 0
+        info["ema_restored"] = 0  # TF ckpts carry no EMA slot → raw params
+        print(f"Imported {n} param + {m} batch-stat tensors from TF "
+              f"checkpoint {args.tf_checkpoint}")
+    else:
+        state, step = common.bootstrap_state(
+            trainer, mgr, jax.random.PRNGKey(0), sample[:1], info=info)
+        if step == 0 and mgr.latest_step() is None:
+            print("WARNING: no snapshot found under "
+                  f"{mgr.dir} — evaluating freshly-initialized weights")
     use_ema = args.use_ema and state.ema_params is not None
     if use_ema and step > 0 and info.get("ema_restored") == 0:
         # snapshot was trained without EMA: the ema slot still holds its

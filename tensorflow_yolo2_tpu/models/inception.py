@@ -556,11 +556,14 @@ class InceptionV4(nn.Module):
             t = C(384, 1, 1, 1, "SAME", f"c{i}_b1a")(x, train)
             br1 = _concat([C(256, 1, 3, 1, "SAME", f"c{i}_b1b")(t, train),
                            C(256, 3, 1, 1, "SAME", f"c{i}_b1c")(t, train)])
+            # slim orientation: 3×1 then 1×3, splitting into 1×3 | 3×1
+            # (reference inception_v4.py:134-140) — kept for checkpoint
+            # import parity (the paper draws the transpose)
             t = C(384, 1, 1, 1, "SAME", f"c{i}_b2a")(x, train)
-            t = C(448, 1, 3, 1, "SAME", f"c{i}_b2b")(t, train)
-            t = C(512, 3, 1, 1, "SAME", f"c{i}_b2c")(t, train)
-            br2 = _concat([C(256, 3, 1, 1, "SAME", f"c{i}_b2d")(t, train),
-                           C(256, 1, 3, 1, "SAME", f"c{i}_b2e")(t, train)])
+            t = C(448, 3, 1, 1, "SAME", f"c{i}_b2b")(t, train)
+            t = C(512, 1, 3, 1, "SAME", f"c{i}_b2c")(t, train)
+            br2 = _concat([C(256, 1, 3, 1, "SAME", f"c{i}_b2d")(t, train),
+                           C(256, 3, 1, 1, "SAME", f"c{i}_b2e")(t, train)])
             br3 = C(256, 1, 1, 1, "SAME", f"c{i}_b3")(
                 nn.avg_pool(x, (3, 3), (1, 1), "SAME", count_include_pad=False), train)
             return _concat([br0, br1, br2, br3])

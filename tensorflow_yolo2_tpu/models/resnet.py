@@ -32,20 +32,22 @@ import jax.numpy as jnp
 
 
 def _conv_same(x: jnp.ndarray, features: int, kernel: int, stride: int,
-               dtype: Any, param_dtype: Any, name: str) -> jnp.ndarray:
+               dtype: Any, param_dtype: Any, name: str,
+               use_bias: bool = False) -> jnp.ndarray:
     """slim conv2d_same: explicit symmetric pad + VALID conv for stride>1,
     so output size is exactly ceil(in/stride) regardless of input parity
-    (reference resnet_utils.py:77-123)."""
+    (reference resnet_utils.py:77-123). ``use_bias`` for the v2 root conv,
+    which slim builds with normalizer_fn=None."""
     if stride == 1:
         return nn.Conv(features, (kernel, kernel), padding="SAME",
-                       use_bias=False, dtype=dtype, param_dtype=param_dtype,
+                       use_bias=use_bias, dtype=dtype, param_dtype=param_dtype,
                        name=name)(x)
     pad_total = kernel - 1
     pad_beg = pad_total // 2
     pad_end = pad_total - pad_beg
     return nn.Conv(features, (kernel, kernel), strides=(stride, stride),
                    padding=[(pad_beg, pad_end), (pad_beg, pad_end)],
-                   use_bias=False, dtype=dtype, param_dtype=param_dtype,
+                   use_bias=use_bias, dtype=dtype, param_dtype=param_dtype,
                    name=name)(x)
 
 

@@ -34,10 +34,12 @@ class BottleneckV2(nn.Module):
             shortcut = x if self.stride == 1 else nn.max_pool(
                 x, (1, 1), strides=(self.stride, self.stride))
         else:
-            # projection shortcut taken from the pre-activated input
+            # projection shortcut taken from the pre-activated input; slim
+            # builds it with normalizer_fn=None, so it carries a bias
+            # (reference resnet_v2.py:96-98)
             shortcut = nn.Conv(self.depth, (1, 1),
                                strides=(self.stride, self.stride),
-                               use_bias=False, dtype=self.dtype,
+                               use_bias=True, dtype=self.dtype,
                                param_dtype=self.param_dtype,
                                name="shortcut_conv")(preact)
 
@@ -48,7 +50,9 @@ class BottleneckV2(nn.Module):
         r = _conv_same(r, self.depth_bottleneck, 3, self.stride, self.dtype,
                        self.param_dtype, name="conv2")
         r = nn.relu(_BN(self.dtype, self.param_dtype, name="bn2")(r, train))
-        r = nn.Conv(self.depth, (1, 1), use_bias=False, dtype=self.dtype,
+        # conv3 has no following BN in v2 (normalizer_fn=None → bias,
+        # reference resnet_v2.py:103-105)
+        r = nn.Conv(self.depth, (1, 1), use_bias=True, dtype=self.dtype,
                     param_dtype=self.param_dtype, name="conv3")(r)
         return shortcut + r
 
@@ -69,8 +73,10 @@ class ResNetV2(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        # v2 root conv has no BN/ReLU (normalization happens in unit preacts)
-        x = _conv_same(x, 64, 7, 2, self.dtype, jnp.float32, name="conv1")
+        # v2 root conv has no BN/ReLU (normalization happens in unit
+        # preacts) and therefore a bias (reference resnet_v2.py:196-200)
+        x = _conv_same(x, 64, 7, 2, self.dtype, jnp.float32, name="conv1",
+                       use_bias=True)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
         depths = (256, 512, 1024, 2048)
         bottlenecks = (64, 128, 256, 512)

@@ -133,6 +133,55 @@ def make_voc_hard(root: str, n_train: int = 64, n_val: int = 32,
     return voc
 
 
+def make_cls_pretrain(root: str, per_class: int = 200, n_val: int = 100,
+                      w: int = 256, h: int = 192, seed: int = 23) -> str:
+    """Classification-pretraining fixture in ILSVRC CLS-LOC layout: one
+    synset per hard-VOC class, each image a single class-colored
+    rectangle (same color families/jitter as make_voc_hard) on noise at
+    varied scale/position — the synthetic world's "ImageNet", so a
+    darknet19 classifier pretrained here transfers to the hard detection
+    fixture exactly like the reference's ImageNet→VOC workflow
+    (pascal_train_darknet.py:83 warm-start). Returns the ILSVRC root."""
+    rng = np.random.RandomState(seed)
+    synsets = [f"n_{cls}" for cls in _HARD_CLASSES]
+    train_lines = []
+
+    def render(ci: int) -> np.ndarray:
+        img = rng.randint(0, 255, (h, w, 3), np.uint8)
+        bw, bh = rng.randint(16, 160), rng.randint(16, 160)
+        x1 = rng.randint(1, max(2, w - bw - 1))
+        y1 = rng.randint(1, max(2, h - bh - 1))
+        base = np.asarray(_HARD_COLORS[ci], np.int32)
+        color = tuple(int(c) for c in np.clip(
+            base + rng.randint(-40, 40, 3), 0, 255))
+        cv2.rectangle(img, (x1, y1), (min(x1 + bw, w - 1),
+                                      min(y1 + bh, h - 1)), color, -1)
+        return img
+
+    for ci, syn in enumerate(synsets):
+        d = os.path.join(root, "Data", "CLS-LOC", "train", syn)
+        os.makedirs(d, exist_ok=True)
+        for i in range(per_class):
+            cv2.imwrite(os.path.join(d, f"{syn}_{i}.JPEG"), render(ci))
+            train_lines.append(f"{syn}/{syn}_{i} {len(train_lines) + 1}")
+    os.makedirs(os.path.join(root, "ImageSets", "CLS-LOC"), exist_ok=True)
+    with open(os.path.join(root, "ImageSets", "CLS-LOC",
+                           "train_cls.txt"), "w") as f:
+        f.write("\n".join(train_lines) + "\n")
+    val_img = os.path.join(root, "Data", "CLS-LOC", "val")
+    val_ann = os.path.join(root, "Annotations", "CLS-LOC", "val")
+    os.makedirs(val_img, exist_ok=True)
+    os.makedirs(val_ann, exist_ok=True)
+    for i in range(n_val):
+        ci = i % len(synsets)
+        name = f"ILSVRC2012_val_{i:08d}"
+        cv2.imwrite(os.path.join(val_img, name + ".JPEG"), render(ci))
+        with open(os.path.join(val_ann, name + ".xml"), "w") as f:
+            f.write(f"<annotation><object><name>{synsets[ci]}</name>"
+                    "</object></annotation>")
+    return root
+
+
 def make_flowers(root: str, classes: tuple = ("daisy", "rose", "tulip"),
                  per_class: int = 6) -> str:
     for ci, cls in enumerate(classes):

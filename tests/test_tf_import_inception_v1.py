@@ -176,3 +176,41 @@ def test_train_classifier_warm_starts_from_tf_checkpoint(tmp_root, capsys):
     # 3 stem + 9 blocks × 6 branch convs = 57 conv+BN pairs restored
     # (kernel + beta each; mean + var each in stats); logits excluded
     assert "Warm-started 114 param + 114 batch-stat tensors" in out
+
+
+@pytest.mark.slow
+def test_eval_classifier_scores_tf_checkpoint(tmp_root, capsys):
+    """slim eval_image_classifier parity: --tf-checkpoint evaluates a
+    released TF zoo checkpoint directly, no framework snapshot involved
+    (reference eval_image_classifier.py:40-43,150-187)."""
+    from tests import synthetic
+
+    from tensorflow_yolo2_tpu.entries import eval_classifier
+
+    # 5 classes to match the generated checkpoint's logits head (a
+    # class-count mismatch would drop the head by shape intersection)
+    synthetic.make_flowers(str(tmp_root / "data" / "TF_flowers"),
+                           classes=("a", "b", "c", "d", "e"), per_class=4)
+
+    rng = np.random.RandomState(29)
+    images = np.zeros((1, 64, 64, 3), np.float32)
+    v1 = tf.compat.v1
+    graph = tf.Graph()
+    with graph.as_default():
+        build_tf_inception_v1(v1, images, rng)
+        saver = v1.train.Saver()
+        with v1.Session() as sess:
+            sess.run(v1.global_variables_initializer())
+            ckpt = str(tmp_root / "inception_v1_eval.ckpt")
+            saver.save(sess, ckpt)
+
+    rc = eval_classifier.main([
+        "--model-name", "inception_v1", "--dataset-name", "flowers",
+        "--image-size", "64", "--batch-size", "4", "--max-batches", "2",
+        "--compute-dtype", "float32",
+        "--tf-checkpoint", ckpt])
+    assert rc == 0
+    out = capsys.readouterr().out
+    # full net + logits head restored (57 conv/BN pairs + kernel/bias)
+    assert "Imported 116 param + 114 batch-stat tensors" in out
+    assert "accuracy" in out
