@@ -33,6 +33,10 @@ _IMAGE = 448
 # 128→3764, 256→3856; re-measured same-session 128→3565 vs 256→3695
 _BATCH = int(os.environ.get("BENCH_BATCH", "256"))
 _STEPS = int(os.environ.get("BENCH_STEPS", "20"))
+# BENCH_INT8=1 serves the post-training-quantized chain (ops.quant):
+# int8×int8→int32 convs on the MXU (2× bf16 peak on v5e), int8 tensors
+# between layers. Accuracy parity evidence: benchmarks/int8_quality.py.
+_INT8 = os.environ.get("BENCH_INT8", "0") == "1"
 
 
 def measure_tpu() -> dict:
@@ -57,15 +61,30 @@ def measure_tpu() -> dict:
     fmodel = Darknet19Detector(output_channels=yolo.cell_channels,
                                fold_bn=True, dtype=jnp.bfloat16)
 
-    @jax.jit
-    def forward(params, images):
-        grid = fmodel.apply({"params": params}, images, train=False)
-        # fused Pallas decode + class-aware NMS (the flagship kernel)
-        return decode_nms_pallas(grid, yolo, 0.5, 0.5, max_outputs=32)
-
     images = jnp.asarray(np.random.RandomState(0).uniform(
         -1, 1, (_BATCH, _IMAGE, _IMAGE, 3)), jnp.float32)
     images = jax.device_put(images)
+
+    if _INT8:
+        from tensorflow_yolo2_tpu.ops.quant import (
+            calibrate,
+            forward_int8,
+            quantize_folded,
+        )
+
+        scales = calibrate(folded, images[:8])
+        folded = jax.device_put(quantize_folded(folded, scales))
+
+        @jax.jit
+        def forward(qlayers, images):
+            grid = forward_int8(qlayers, images)
+            return decode_nms_pallas(grid, yolo, 0.5, 0.5, max_outputs=32)
+    else:
+        @jax.jit
+        def forward(params, images):
+            grid = fmodel.apply({"params": params}, images, train=False)
+            # fused Pallas decode + class-aware NMS (the flagship kernel)
+            return decode_nms_pallas(grid, yolo, 0.5, 0.5, max_outputs=32)
 
     def run(batch):
         # Force real completion with a host fetch of the (tiny) scores
@@ -104,7 +123,7 @@ def measure_tpu() -> dict:
     np.asarray(outs[-1].scores)
     device_ms = (time.perf_counter() - t0) / chain * 1000
     return {"images_per_sec": ips, "p50_ms": p50_ms,
-            "device_latency_ms": device_ms,
+            "device_latency_ms": device_ms, "int8": _INT8,
             "batch": _BATCH, "backend": jax.default_backend()}
 
 
@@ -184,6 +203,7 @@ def main() -> int:
         "device_single_image_ms": round(result["device_latency_ms"], 3),
         "batch": result["batch"],
         "backend": result["backend"],
+        "int8": result["int8"],
     }))
     return 0
 

@@ -26,6 +26,10 @@ from tensorflow_yolo2_tpu.utils.timer import Timer
 def main(argv: list[str] | None = None) -> int:
     p = common.base_parser(__doc__)
     p.add_argument("--max-batches", type=int, default=None)
+    p.add_argument("--int8", action="store_true",
+                   help="serve the post-training-quantized int8 chain "
+                        "(ops.quant; BN folded, activations calibrated "
+                        "on the first batch)")
     args = p.parse_args(argv)
 
     from tensorflow_yolo2_tpu.utils.jaxsetup import enable_compilation_cache
@@ -44,6 +48,31 @@ def main(argv: list[str] | None = None) -> int:
     state, _ = common.bootstrap_state(trainer, mgr,
                                       jax.random.PRNGKey(0), sample[:1])
 
+    eval_step = trainer.eval_step
+    if args.int8:
+        from tensorflow_yolo2_tpu.models.fold import fold_params
+        from tensorflow_yolo2_tpu.ops.quant import (
+            calibrate,
+            forward_int8_classifier,
+            quantize_folded,
+        )
+
+        folded = fold_params(state.params, state.batch_stats)
+        scales = calibrate(folded, jnp.asarray(sample, jnp.float32),
+                           head="classifier")
+        qlayers = jax.device_put(
+            quantize_folded(folded, scales, head="classifier"))
+
+        @jax.jit
+        def _int8_step(qlayers, images, labels):
+            logits = forward_int8_classifier(qlayers, images)
+            acc = jnp.mean((jnp.argmax(logits, -1) == labels)
+                           .astype(jnp.float32))
+            return {"accuracy": acc}
+
+        def eval_step(_state, images, labels):
+            return _int8_step(qlayers, images, labels)
+
     n_batches = args.max_batches or imdb.total_batch
     timer = Timer()
     correct = total = 0
@@ -53,7 +82,7 @@ def main(argv: list[str] | None = None) -> int:
         for i in range(n_batches):
             images, labels = next(stream)
             timer.tic()
-            m = trainer.eval_step(state, images, labels)
+            m = eval_step(state, images, labels)
             acc = float(np.asarray(m["accuracy"]))
             timer.toc()
             correct += acc * batch_size

@@ -69,12 +69,30 @@ def load_detector_params(yolo: YoloConfig, tf_checkpoint: str | None = None,
 def make_detect_fn(yolo: YoloConfig, params, batch_stats,
                    object_thresh: float = 0.5, use_nms: bool = False,
                    nms_iou: float = 0.5, fold_bn: bool = True,
-                   dtype=jnp.bfloat16, v2: bool = False):
+                   dtype=jnp.bfloat16, v2: bool = False,
+                   int8: bool = False, calib_images=None):
     """Build the jitted image→detections function (batched).
 
     ``v2`` selects the anchor head layout + decode (sigmoid-xy/exp-wh,
     per-slot class softmax) matching pascal_train_darknet --v2.
+
+    ``int8`` serves the post-training-quantized chain (ops.quant):
+    BN-folded weights per-channel int8, activations per-tensor int8
+    calibrated on ``calib_images`` (a representative f32 batch —
+    required when int8 is set), int8×int8→int32 convs on the MXU.
     """
+    if int8:
+        if calib_images is None:
+            raise ValueError("int8 serving needs calib_images (a "
+                             "representative batch) for activation "
+                             "calibration")
+        if not (fold_bn and batch_stats):
+            raise ValueError("int8 serving quantizes the BN-folded "
+                             "weights: fold_bn=True with batch_stats "
+                             "is required")
+        return _make_detect_fn_int8(yolo, params, batch_stats,
+                                    object_thresh, use_nms, nms_iou, v2,
+                                    calib_images)
     if v2 != yolo.per_slot_classes:
         raise ValueError(
             f"v2={v2} disagrees with yolo.per_slot_classes="
@@ -123,6 +141,40 @@ def make_detect_fn(yolo: YoloConfig, params, batch_stats,
     return detect
 
 
+def _make_detect_fn_int8(yolo: YoloConfig, params, batch_stats,
+                         object_thresh: float, use_nms: bool,
+                         nms_iou: float, v2: bool, calib_images):
+    """int8 variant of make_detect_fn: quantized forward + same decode."""
+    from tensorflow_yolo2_tpu.ops.quant import (
+        calibrate,
+        forward_int8,
+        quantize_folded,
+    )
+
+    folded = fold_params(params, batch_stats)
+    scales = calibrate(folded, jnp.asarray(calib_images, jnp.float32),
+                       v2=v2)
+    qlayers = jax.device_put(quantize_folded(folded, scales, v2=v2))
+
+    @jax.jit
+    def _detect(qlayers, images: jnp.ndarray) -> Detections:
+        grid = forward_int8(qlayers, images, v2=v2)
+        if use_nms:
+            return decode_nms_pallas(grid, yolo, object_thresh, nms_iou,
+                                     max_outputs=32)
+        if v2:
+            from tensorflow_yolo2_tpu.ops.boxes import decode_grid_v2
+
+            return jax.vmap(
+                lambda g: decode_grid_v2(g, yolo, object_thresh))(grid)
+        return decode_grid_pallas(grid, yolo, object_thresh)
+
+    def detect(images: jnp.ndarray) -> Detections:
+        return _detect(qlayers, images)
+
+    return detect
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("image", nargs="?", default="assets/demo.jpg")
@@ -136,6 +188,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--tf-checkpoint", default=None)
     p.add_argument("--out", default=None)
     p.add_argument("--no-fold-bn", action="store_true")
+    p.add_argument("--int8", action="store_true",
+                   help="serve the post-training-quantized int8 chain "
+                        "(ops.quant; calibrated on the input image)")
     p.add_argument("--v2", action="store_true",
                    help="anchor-head checkpoint (pascal_train_darknet --v2)")
     p.add_argument("--image-size", type=int, default=224,
@@ -158,11 +213,11 @@ def main(argv: list[str] | None = None) -> int:
         yolo = YoloConfig(S=args.image_size // 32,
                           image_size=args.image_size)
         params, stats = load_detector_params(yolo, args.tf_checkpoint)
+    image = image_read(args.image, yolo.image_size)  # BGR, [-1, 1]
     detect = make_detect_fn(yolo, params, stats, args.threshold,
                             use_nms=args.nms and not args.host_nms,
-                            fold_bn=not args.no_fold_bn, v2=args.v2)
-
-    image = image_read(args.image, yolo.image_size)  # BGR, [-1, 1]
+                            fold_bn=not args.no_fold_bn, v2=args.v2,
+                            int8=args.int8, calib_images=image[None])
     dets = detect(image[None])
     boxes = np.asarray(dets.boxes[0])
     scores = np.asarray(dets.scores[0])

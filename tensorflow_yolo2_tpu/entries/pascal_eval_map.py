@@ -31,6 +31,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--v2", action="store_true",
                    help="evaluate an anchor-head snapshot "
                         "(pascal_train_darknet --v2)")
+    p.add_argument("--int8", action="store_true",
+                   help="evaluate the post-training-quantized int8 "
+                        "serving chain (ops.quant)")
+    p.add_argument("--int8-calib-set", default="trainval",
+                   help="image set supplying the one-batch activation "
+                        "calibration (kept distinct from --image-set so "
+                        "eval data never calibrates the quantizer)")
     args = p.parse_args(argv)
 
     from tensorflow_yolo2_tpu.utils.jaxsetup import enable_compilation_cache
@@ -49,8 +56,14 @@ def main(argv: list[str] | None = None) -> int:
         params, stats = load_detector_params(yolo, args.tf_checkpoint)
     imdb = PascalVOC(args.image_set, batch_size=batch_size,
                      yolo=yolo, data_path=args.data_path)
+    calib = None
+    if args.int8:
+        calib_imdb = PascalVOC(args.int8_calib_set, batch_size=batch_size,
+                               yolo=yolo, data_path=args.data_path)
+        calib, _ = calib_imdb.get()
     detect = make_detect_fn(yolo, params, stats, args.threshold,
-                            use_nms=True, nms_iou=args.nms_iou, v2=args.v2)
+                            use_nms=True, nms_iou=args.nms_iou, v2=args.v2,
+                            int8=args.int8, calib_images=calib)
     mAP, aps = run_eval(detect, imdb, yolo, iou=args.iou,
                         use_07_metric=args.use_07_metric,
                         max_images=args.max_images)
