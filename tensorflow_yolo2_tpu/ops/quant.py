@@ -93,19 +93,31 @@ def _max_pool_int8(x: jnp.ndarray) -> jnp.ndarray:
         (1, 2, 2, 1), (1, 2, 2, 1), "SAME")
 
 
-@partial(jax.jit, static_argnames=("v2", "head"))
+@partial(jax.jit, static_argnames=("v2", "head", "percentile"))
 def calibrate(params: Mapping[str, Any], images: jnp.ndarray,
-              v2: bool = False, head: str = "detector") -> jnp.ndarray:
+              v2: bool = False, head: str = "detector",
+              percentile: float = 100.0) -> jnp.ndarray:
     """One-shot activation calibration on a representative batch.
 
     Runs the folded f32 forward and records the per-tensor abs-max at
     every conv *input* (the image, then each post-activation map; the
     2×2 pools preserve the scale). Returns ``[n_convs]`` f32 scales
     (amax/127) consumed by :func:`quantize_folded`.
+
+    ``percentile < 100`` clips the range to that percentile of |x|
+    instead of the max — the standard outlier-robust calibration when a
+    few activations dominate the tensor (saturating <(100-p)% of values
+    buys resolution for the rest).
     """
     plan, convs = layer_plan(v2, head)
+
+    def amax(t: jnp.ndarray) -> jnp.ndarray:
+        if percentile >= 100.0:
+            return jnp.max(jnp.abs(t))
+        return jnp.percentile(jnp.abs(t).reshape(-1), percentile)
+
     x = jnp.asarray(images, jnp.float32)
-    amaxes = [jnp.max(jnp.abs(x))]
+    amaxes = [amax(x)]
     ci = 0
     for step in plan:
         if step == "pool":
@@ -120,7 +132,7 @@ def calibrate(params: Mapping[str, Any], images: jnp.ndarray,
         if activated:
             x = leaky_relu(x)
         if ci < len(convs):
-            amaxes.append(jnp.max(jnp.abs(x)))
+            amaxes.append(amax(x))
     scales = jnp.stack(amaxes) / 127.0
     return jnp.maximum(scales, 1e-8)
 

@@ -119,6 +119,15 @@ def test_forward_int8_classifier_matches_f32():
     assert rel < 0.05, f"classifier int8 logits diverge: rel {rel:.4f}"
 
 
+def test_percentile_calibration_tightens_scales(v1_setup):
+    _, _, folded, images = v1_setup
+    full = np.asarray(calibrate(folded, images))
+    clipped = np.asarray(calibrate(folded, images, percentile=99.0))
+    assert clipped.shape == full.shape
+    assert np.all(clipped <= full + 1e-12)
+    assert np.any(clipped < full)  # some tensor has a clipped tail
+
+
 def test_int8_pool_commutes_with_quantization():
     from tensorflow_yolo2_tpu.ops.quant import (
         _max_pool_int8,
