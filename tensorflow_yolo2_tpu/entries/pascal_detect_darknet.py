@@ -141,20 +141,24 @@ def make_detect_fn(yolo: YoloConfig, params, batch_stats,
     return detect
 
 
-def _make_detect_fn_int8(yolo: YoloConfig, params, batch_stats,
-                         object_thresh: float, use_nms: bool,
-                         nms_iou: float, v2: bool, calib_images):
-    """int8 variant of make_detect_fn: quantized forward + same decode."""
-    from tensorflow_yolo2_tpu.ops.quant import (
-        calibrate,
-        forward_int8,
-        quantize_folded,
-    )
+def quantize_detector(params, batch_stats, calib_images, v2: bool = False):
+    """Fold BN and post-training-quantize a detector → int8 layer chain."""
+    from tensorflow_yolo2_tpu.ops.quant import calibrate, quantize_folded
 
     folded = fold_params(params, batch_stats)
     scales = calibrate(folded, jnp.asarray(calib_images, jnp.float32),
                        v2=v2)
-    qlayers = jax.device_put(quantize_folded(folded, scales, v2=v2))
+    return quantize_folded(folded, scales, v2=v2)
+
+
+def make_detect_fn_int8(yolo: YoloConfig, qlayers,
+                        object_thresh: float = 0.5, use_nms: bool = False,
+                        nms_iou: float = 0.5, v2: bool = False):
+    """Jitted detect fn over a prebuilt int8 chain (quantize_detector or
+    a loaded ops.quant.save_quantized artifact)."""
+    from tensorflow_yolo2_tpu.ops.quant import forward_int8
+
+    qlayers = jax.device_put(tuple(qlayers))
 
     @jax.jit
     def _detect(qlayers, images: jnp.ndarray) -> Detections:
@@ -175,6 +179,15 @@ def _make_detect_fn_int8(yolo: YoloConfig, params, batch_stats,
     return detect
 
 
+def _make_detect_fn_int8(yolo: YoloConfig, params, batch_stats,
+                         object_thresh: float, use_nms: bool,
+                         nms_iou: float, v2: bool, calib_images):
+    """int8 variant of make_detect_fn: quantized forward + same decode."""
+    qlayers = quantize_detector(params, batch_stats, calib_images, v2=v2)
+    return make_detect_fn_int8(yolo, qlayers, object_thresh, use_nms,
+                               nms_iou, v2)
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("image", nargs="?", default="assets/demo.jpg")
@@ -191,6 +204,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--int8", action="store_true",
                    help="serve the post-training-quantized int8 chain "
                         "(ops.quant; calibrated on the input image)")
+    p.add_argument("--int8-export", default=None, metavar="NPZ",
+                   help="with --int8: also write the quantized chain as "
+                        "a standalone serving artifact (ops.quant."
+                        "save_quantized — ~¼ the fp32 snapshot bytes)")
+    p.add_argument("--int8-weights", default=None, metavar="NPZ",
+                   help="serve from a saved int8 artifact directly — no "
+                        "snapshot, no calibration pass")
     p.add_argument("--v2", action="store_true",
                    help="anchor-head checkpoint (pascal_train_darknet --v2)")
     p.add_argument("--image-size", type=int, default=224,
@@ -207,17 +227,40 @@ def main(argv: list[str] | None = None) -> int:
     if args.v2:
         from tensorflow_yolo2_tpu.config import yolo_v2_config
         yolo = yolo_v2_config(args.image_size)
-        params, stats = load_detector_params(
-            yolo, args.tf_checkpoint, network_name="darknet19_v2")
+        params, stats = (None, None) if args.int8_weights else \
+            load_detector_params(
+                yolo, args.tf_checkpoint, network_name="darknet19_v2")
     else:
         yolo = YoloConfig(S=args.image_size // 32,
                           image_size=args.image_size)
-        params, stats = load_detector_params(yolo, args.tf_checkpoint)
+        params, stats = (None, None) if args.int8_weights else \
+            load_detector_params(yolo, args.tf_checkpoint)
     image = image_read(args.image, yolo.image_size)  # BGR, [-1, 1]
-    detect = make_detect_fn(yolo, params, stats, args.threshold,
-                            use_nms=args.nms and not args.host_nms,
-                            fold_bn=not args.no_fold_bn, v2=args.v2,
-                            int8=args.int8, calib_images=image[None])
+    use_nms = args.nms and not args.host_nms
+    if args.int8_weights:
+        from tensorflow_yolo2_tpu.ops.quant import load_quantized
+
+        qlayers, meta = load_quantized(args.int8_weights)
+        for key, want in (("v2", args.v2), ("image_size", yolo.image_size)):
+            if key in meta and meta[key] != want:
+                p.error(f"--int8-weights artifact was quantized with "
+                        f"{key}={meta[key]}, run requests {want}")
+        detect = make_detect_fn_int8(yolo, qlayers, args.threshold,
+                                     use_nms=use_nms, v2=args.v2)
+    elif args.int8:
+        qlayers = quantize_detector(params, stats, image[None], v2=args.v2)
+        if args.int8_export:
+            from tensorflow_yolo2_tpu.ops.quant import save_quantized
+
+            save_quantized(args.int8_export, qlayers,
+                           {"v2": args.v2, "image_size": yolo.image_size})
+            print(f"Exported int8 artifact to {args.int8_export}")
+        detect = make_detect_fn_int8(yolo, qlayers, args.threshold,
+                                     use_nms=use_nms, v2=args.v2)
+    else:
+        detect = make_detect_fn(yolo, params, stats, args.threshold,
+                                use_nms=use_nms,
+                                fold_bn=not args.no_fold_bn, v2=args.v2)
     dets = detect(image[None])
     boxes = np.asarray(dets.boxes[0])
     scores = np.asarray(dets.scores[0])

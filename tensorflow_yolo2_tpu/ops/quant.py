@@ -208,3 +208,41 @@ def forward_int8_classifier(layers: Sequence[Mapping[str, jnp.ndarray]],
     """
     class_map = forward_int8(layers, images, head="classifier")
     return jnp.mean(class_map, axis=(1, 2))
+
+
+def save_quantized(path: str, layers: Sequence[Mapping[str, jnp.ndarray]],
+                   meta: Mapping[str, Any] | None = None) -> None:
+    """Write a quantized chain as a standalone serving artifact (npz).
+
+    The artifact carries everything the int8 forward needs — int8
+    kernels, dequant scales, biases, requant factors — so deployment
+    ships ~¼ the fp32 snapshot bytes and needs neither the training
+    checkpoint nor a calibration pass at serving time (the TensorRT
+    engine-file role; the reference has no serving-artifact concept).
+    """
+    import json
+
+    import numpy as np
+
+    arrays = {f"{i}/{k}": np.asarray(v)
+              for i, layer in enumerate(layers) for k, v in layer.items()}
+    arrays["__meta__"] = np.frombuffer(
+        json.dumps(dict(meta or {}), sort_keys=True).encode(), np.uint8)
+    np.savez(path, **arrays)
+
+
+def load_quantized(path: str) -> tuple:
+    """Load a :func:`save_quantized` artifact → ``(layers, meta)``."""
+    import json
+
+    import numpy as np
+
+    with np.load(path) as data:
+        meta = json.loads(bytes(data["__meta__"]).decode())
+        n = 1 + max(int(key.split("/")[0]) for key in data.files
+                    if key != "__meta__")
+        layers = tuple(
+            {key.split("/", 1)[1]: jnp.asarray(data[key])
+             for key in data.files if key.startswith(f"{i}/")}
+            for i in range(n))
+    return layers, meta

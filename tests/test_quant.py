@@ -162,6 +162,31 @@ def test_forward_int8_on_tpu(v1_setup):
     assert rel < 0.05, f"TPU int8 grid diverges: rel RMS {rel:.4f}"
 
 
+def test_save_load_quantized_roundtrip(v1_setup, tmp_path):
+    from tensorflow_yolo2_tpu.ops.quant import (
+        load_quantized,
+        save_quantized,
+    )
+
+    _, _, folded, images = v1_setup
+    layers = quantize_folded(folded, calibrate(folded, images))
+    path = str(tmp_path / "det.npz")
+    save_quantized(path, layers, {"v2": False, "image_size": _IMG})
+    loaded, meta = load_quantized(path)
+    assert meta == {"v2": False, "image_size": _IMG}
+    assert len(loaded) == len(layers) == 22
+    for orig, back in zip(layers, loaded):
+        assert set(back) == set(orig)
+        for key in orig:
+            np.testing.assert_array_equal(np.asarray(orig[key]),
+                                          np.asarray(back[key]))
+            assert back[key].dtype == orig[key].dtype
+    out_a = forward_int8(layers, images)
+    out_b = forward_int8(loaded, images)
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b),
+                               rtol=0, atol=0)
+
+
 def test_detect_fn_int8_smoke(v1_setup):
     from tensorflow_yolo2_tpu.entries.pascal_detect_darknet import (
         make_detect_fn,
