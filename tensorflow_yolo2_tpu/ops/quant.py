@@ -228,7 +228,10 @@ def save_quantized(path: str, layers: Sequence[Mapping[str, jnp.ndarray]],
               for i, layer in enumerate(layers) for k, v in layer.items()}
     arrays["__meta__"] = np.frombuffer(
         json.dumps(dict(meta or {}), sort_keys=True).encode(), np.uint8)
-    np.savez(path, **arrays)
+    # write through a file object so np.savez never appends ".npz"
+    # behind the caller's back (the path printed/loaded must match)
+    with open(path, "wb") as f:
+        np.savez(f, **arrays)
 
 
 def load_quantized(path: str) -> tuple:
