@@ -741,8 +741,10 @@ _IV4_REDB = {
 
 def import_inception_v4_checkpoint(path: str, scope: str = "InceptionV4"):
     """Import a slim inception_v4 checkpoint → (params, batch_stats) for
-    models.inception.InceptionV4. AuxLogits variables are skipped (the
-    Flax v4 has no aux tower; the merge intersection drops nothing else)."""
+    models.inception.InceptionV4. AuxLogits variables (reference
+    inception_v4.py:287-305) are imported when present — for
+    ``aux_logits=True`` models; the merge intersection drops them
+    otherwise."""
     var_map = load_tf_checkpoint(path)
     params: dict[str, Any] = {}
     stats: dict[str, Any] = {}
@@ -770,6 +772,19 @@ def import_inception_v4_checkpoint(path: str, scope: str = "InceptionV4"):
         params["logits"] = {
             "kernel": var_map[logits_key],
             "bias": var_map[f"{scope}/Logits/Logits/biases"]}
+
+    aux_proj = f"{scope}/AuxLogits/Conv2d_1b_1x1/weights"
+    if aux_proj in var_map:
+        p, s = _slim_conv_bn_noscale(var_map,
+                                     f"{scope}/AuxLogits/Conv2d_1b_1x1")
+        params["aux_proj"], stats["aux_proj"] = p, s
+        p, s = _slim_conv_bn_noscale(var_map, f"{scope}/AuxLogits/Conv2d_2a")
+        params["aux_conv"], stats["aux_conv"] = p, s
+        # slim's aux head ends in a fully_connected on the flattened map —
+        # 2-D (in, out) kernel, same as our Dense
+        params["aux_logits"] = {
+            "kernel": var_map[f"{scope}/AuxLogits/Aux_logits/weights"],
+            "bias": var_map[f"{scope}/AuxLogits/Aux_logits/biases"]}
     return params, stats
 
 

@@ -74,7 +74,7 @@ def add_slim_flags(p) -> None:
                         "(slim's train_image_size flag)")
     p.add_argument("--aux-loss", action="store_true",
                    help="train with the model's auxiliary classifier "
-                        "head(s) at 0.4 loss weight (inception v1/v3; "
+                        "head(s) at 0.4 loss weight (inception v1/v3/v4; "
                         "slim's aux_logits + weighted aux loss)")
     p.add_argument("--activation-summaries", action="store_true",
                    help="per-module activation histograms + sparsity "
@@ -105,7 +105,7 @@ def main(argv: list[str] | None = None) -> int:
                             dtype=dtype, **net_kw)
     except TypeError:
         p.error(f"--aux-loss: {args.model_name} has no auxiliary "
-                "classifier head (inception_v1/inception_v3 do)")
+                "classifier head (inception_v1/v3/v4 do)")
 
     opt_cfg = OptimizerConfig(
         name=args.optimizer, momentum=args.momentum,

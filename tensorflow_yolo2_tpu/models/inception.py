@@ -17,6 +17,8 @@ models.contrast.ContrastInputModel):
   optional aux-logits tower off the last 17×17 block
   (inception_v3.py:497-523) behind ``aux_logits``;
 - :class:`InceptionV4` — Inception-A/B/C towers + reduction blocks;
+  optional aux-logits tower off the last B block (inception_v4.py:287-305)
+  behind ``aux_logits``;
 - :class:`InceptionResnetV2` — residual block35/17/8 towers with the
   canonical residual scales (0.17/0.10/0.20).
 
@@ -501,9 +503,15 @@ class InceptionResnetV2(nn.Module):
 
 
 class InceptionV4(nn.Module):
-    """slim inception_v4.py structure (stem + 4×A, 7×B, 3×C towers)."""
+    """slim inception_v4.py structure (stem + 4×A, 7×B, 3×C towers).
+
+    ``aux_logits=True`` adds the slim aux tower off the last 17×17 block
+    (inception_v4.py:287-305: avgpool 5×5/3 → 1×1 128 → full-spatial 768
+    VALID → flatten → FC classes) and makes ``__call__`` return
+    ``(logits, aux)``."""
 
     num_classes: int = 1000
+    aux_logits: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -578,6 +586,19 @@ class InceptionV4(nn.Module):
         x = _concat([br0, br1, nn.max_pool(x, (3, 3), (2, 2))])
         for i in range(7):
             x = block_b(x, i)
+        aux = None
+        if self.aux_logits:
+            # slim aux tower off Mixed_6h (inception_v4.py:287-305); the
+            # final layer is a fully_connected on the flattened 1×1×768
+            # map (unlike v3's 1×1 conv)
+            a = nn.avg_pool(x, (5, 5), (3, 3), "VALID")
+            a = ConvBNReLU(128, (1, 1), dtype=self.dtype,
+                           name="aux_proj")(a, train)
+            a = ConvBNReLU(768, (a.shape[1], a.shape[2]), padding="VALID",
+                           dtype=self.dtype, name="aux_conv")(a, train)
+            a = a.reshape((a.shape[0], -1))
+            aux = nn.Dense(self.num_classes, dtype=self.dtype,
+                           name="aux_logits")(a).astype(jnp.float32)
         # reduction B
         t = C(192, 1, 1, 1, "SAME", "redB_b0a")(x, train)
         br0 = C(192, 3, 3, 2, "VALID", "redB_b0b")(t, train)
@@ -590,8 +611,11 @@ class InceptionV4(nn.Module):
             x = block_c(x, i)
         x = jnp.mean(x, axis=(1, 2))
         x = nn.Dropout(0.2, deterministic=not train)(x)
-        return nn.Dense(self.num_classes, dtype=self.dtype,
-                        name="logits")(x).astype(jnp.float32)
+        logits = nn.Dense(self.num_classes, dtype=self.dtype,
+                          name="logits")(x).astype(jnp.float32)
+        if self.aux_logits:
+            return logits, aux
+        return logits
 
 
 INCEPTION_ZOO = {

@@ -14,6 +14,7 @@ from tensorflow_yolo2_tpu.models.inception import (
     InceptionV1,
     InceptionV2,
     InceptionV3,
+    InceptionV4,
 )
 from tensorflow_yolo2_tpu.models.registry import get_network
 
@@ -58,7 +59,8 @@ def test_inception_v2_separable_stem_and_shapes():
     assert params["mixed_5c"]["b0"]["conv"]["kernel"].shape[-1] == 352
 
 
-@pytest.mark.parametrize("cls,size", [(InceptionV1, 64), (InceptionV3, 160)])
+@pytest.mark.parametrize("cls,size", [(InceptionV1, 64), (InceptionV3, 160),
+                                      (InceptionV4, 128)])
 def test_aux_logits_forward_and_grad(cls, size):
     """Aux towers return a second logits tensor and receive gradient
     through the 0.4-weighted aux loss (softmax_task)."""

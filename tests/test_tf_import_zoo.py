@@ -253,6 +253,22 @@ def build_tf_inception_v4(v1, images, rng):
             x = tf.concat([br0, br1, tf.nn.max_pool2d(x, 3, 2, "VALID")], 3)
         for i in range(7):
             x = block_b(x, f"Mixed_6{chr(ord('b') + i)}")
+
+        # aux tower off Mixed_6h (inception_v4.py:287-305); unlike v3 the
+        # final layer is a fully_connected on the flattened 1×1×768 map
+        with v1.variable_scope("AuxLogits"):
+            a = tf.nn.avg_pool2d(x, 5, 3, "VALID")
+            a = cb(a, 128, 1, 1, 1, "SAME", "Conv2d_1b_1x1")
+            k = int(a.shape[1])
+            a = cb(a, 768, k, int(a.shape[2]), 1, "VALID", "Conv2d_2a")
+            a = tf.reshape(a, (int(a.shape[0]), -1))
+            with v1.variable_scope("Aux_logits"):
+                w = v1.get_variable("weights", initializer=rng.normal(
+                    0, 0.01, (768, NUM_CLASSES)).astype(np.float32))
+                b = v1.get_variable("biases", initializer=rng.normal(
+                    0, 0.05, NUM_CLASSES).astype(np.float32))
+                aux = tf.matmul(a, w) + b
+
         with v1.variable_scope("Mixed_7a"):
             with v1.variable_scope("Branch_0"):
                 t = cb(x, 192, 1, 1, 1, "SAME", "Conv2d_0a_1x1")
@@ -274,7 +290,7 @@ def build_tf_inception_v4(v1, images, rng):
                 b = v1.get_variable("biases", initializer=rng.normal(
                     0, 0.05, NUM_CLASSES).astype(np.float32))
                 x = tf.matmul(x, w) + b
-        return x
+        return x, aux
 
 
 @pytest.mark.slow
@@ -285,13 +301,16 @@ def test_inception_v4_import_forward_parity(tmp_path):
     graph = tf.Graph()
     with graph.as_default():
         out = build_tf_inception_v4(v1, images, rng)
-    tf_out, ckpt = _save(graph, v1, out, tmp_path, "inception_v4.ckpt")
+    (tf_out, tf_aux), ckpt = _save(graph, v1, out, tmp_path,
+                                   "inception_v4.ckpt")
 
     params, stats = import_inception_v4_checkpoint(ckpt)
-    model = InceptionV4(num_classes=NUM_CLASSES)
-    got = model.apply({"params": params, "batch_stats": stats},
-                      jax.numpy.asarray(images), train=False)
+    model = InceptionV4(num_classes=NUM_CLASSES, aux_logits=True)
+    got, got_aux = model.apply({"params": params, "batch_stats": stats},
+                               jax.numpy.asarray(images), train=False)
     np.testing.assert_allclose(np.asarray(got), tf_out, rtol=5e-3, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(got_aux), tf_aux, rtol=5e-3,
+                               atol=5e-3)
     p2, _ = import_checkpoint_for("inception_v4", ckpt)
     np.testing.assert_array_equal(np.asarray(p2["c2_b2b"]["conv"]["kernel"]),
                                   np.asarray(params["c2_b2b"]["conv"]["kernel"]))
