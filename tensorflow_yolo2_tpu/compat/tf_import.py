@@ -133,64 +133,11 @@ def _slim_bn(var_map: Mapping[str, np.ndarray], prefix: str):
     return params, stats
 
 
-def import_resnet50_checkpoint(path: str, scope: str = "resnet_v1_50"):
-    """Import a slim resnet_v1_50 checkpoint → (params, batch_stats) for
-    ResNet50V1 (feature-extractor part; the logits layer is imported when
-    present)."""
-    var_map = load_tf_checkpoint(path)
-    params: dict[str, Any] = {}
-    stats: dict[str, Any] = {}
-
-    params["conv1"] = {"kernel": var_map[f"{scope}/conv1/weights"]}
-    bnp, bns = _slim_bn(var_map, f"{scope}/conv1")
-    params["conv1_bn"] = {"bn": bnp}
-    stats["conv1_bn"] = {"bn": bns}
-
-    for bi, units in enumerate(_R50_UNITS, start=1):
-        for ui in range(1, units + 1):
-            src = f"{scope}/block{bi}/unit_{ui}/bottleneck_v1"
-            dst = f"block{bi}_unit{ui}"
-            p: dict[str, Any] = {}
-            s: dict[str, Any] = {}
-            for ci in (1, 2, 3):
-                p[f"conv{ci}"] = {
-                    "kernel": var_map[f"{src}/conv{ci}/weights"]}
-                bnp, bns = _slim_bn(var_map, f"{src}/conv{ci}")
-                p[f"bn{ci}"] = {"bn": bnp}
-                s[f"bn{ci}"] = {"bn": bns}
-            sc_key = f"{src}/shortcut/weights"
-            if sc_key in var_map:
-                p["shortcut_conv"] = {"kernel": var_map[sc_key]}
-                bnp, bns = _slim_bn(var_map, f"{src}/shortcut")
-                p["shortcut_bn"] = {"bn": bnp}
-                s["shortcut_bn"] = {"bn": bns}
-            params[dst] = p
-            stats[dst] = s
-
-    logits_key = f"{scope}/logits/weights"
-    if logits_key in var_map:
-        params["logits"] = {"kernel": var_map[logits_key],
-                            "bias": var_map[f"{scope}/logits/biases"]}
-    return params, stats
-
-
-_RESNET_UNITS = {
-    "resnet_v1_50": (3, 4, 6, 3), "resnet_v1_101": (3, 4, 23, 3),
-    "resnet_v1_152": (3, 8, 36, 3), "resnet_v1_200": (3, 24, 36, 3),
-    "resnet_v2_50": (3, 4, 6, 3), "resnet_v2_101": (3, 4, 23, 3),
-    "resnet_v2_152": (3, 8, 36, 3), "resnet_v2_200": (3, 24, 36, 3),
-}
-
-
-def import_resnet_v1_checkpoint(path: str, scope: str):
-    """Import any slim resnet_v1 depth (50/101/152/200 by scope name) →
-    (params, batch_stats) for models.zoo.ResNetV1 (Dense logits head).
-
-    Same variable naming as resnet_v1_50 (slim resnet_v1.py:119-217);
-    only the per-block unit counts differ. The ResNet50V1 module keeps
-    its own conv-logits importer (import_resnet50_checkpoint)."""
-    var_map = load_tf_checkpoint(path)
-    units = _RESNET_UNITS[scope]
+def _walk_resnet_v1_trunk(var_map: Mapping[str, Any], scope: str,
+                          units: tuple[int, ...]):
+    """Shared slim resnet_v1 trunk walk (root conv + bottleneck blocks,
+    slim resnet_v1.py:119-217 naming) — the importers differ only in
+    unit counts and logits-head layout."""
     params: dict[str, Any] = {}
     stats: dict[str, Any] = {}
 
@@ -219,6 +166,42 @@ def import_resnet_v1_checkpoint(path: str, scope: str):
                 s["shortcut_bn"] = {"bn": bns}
             params[dst] = p
             stats[dst] = s
+    return params, stats
+
+
+def import_resnet50_checkpoint(path: str, scope: str = "resnet_v1_50"):
+    """Import a slim resnet_v1_50 checkpoint → (params, batch_stats) for
+    ResNet50V1 (feature-extractor part; the logits layer is imported when
+    present)."""
+    var_map = load_tf_checkpoint(path)
+    params, stats = _walk_resnet_v1_trunk(var_map, scope, _R50_UNITS)
+
+    logits_key = f"{scope}/logits/weights"
+    if logits_key in var_map:
+        # ResNet50V1 keeps slim's 1×1-conv logits layout
+        params["logits"] = {"kernel": var_map[logits_key],
+                            "bias": var_map[f"{scope}/logits/biases"]}
+    return params, stats
+
+
+_RESNET_UNITS = {
+    "resnet_v1_50": (3, 4, 6, 3), "resnet_v1_101": (3, 4, 23, 3),
+    "resnet_v1_152": (3, 8, 36, 3), "resnet_v1_200": (3, 24, 36, 3),
+    "resnet_v2_50": (3, 4, 6, 3), "resnet_v2_101": (3, 4, 23, 3),
+    "resnet_v2_152": (3, 8, 36, 3), "resnet_v2_200": (3, 24, 36, 3),
+}
+
+
+def import_resnet_v1_checkpoint(path: str, scope: str):
+    """Import any slim resnet_v1 depth (50/101/152/200 by scope name) →
+    (params, batch_stats) for models.zoo.ResNetV1 (Dense logits head).
+
+    Same variable naming as resnet_v1_50 (slim resnet_v1.py:119-217);
+    only the per-block unit counts differ. The ResNet50V1 module keeps
+    its own conv-logits importer (import_resnet50_checkpoint)."""
+    var_map = load_tf_checkpoint(path)
+    params, stats = _walk_resnet_v1_trunk(var_map, scope,
+                                          _RESNET_UNITS[scope])
 
     logits_key = f"{scope}/logits/weights"
     if logits_key in var_map:

@@ -9,6 +9,7 @@ import argparse
 from typing import Any, Callable, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from tensorflow_yolo2_tpu.config import Paths
@@ -100,11 +101,20 @@ def bootstrap_state(trainer: Trainer, mgr: CheckpointManager,
                   "params/stats only, optimizer re-initialized")
         print(f"Restored snapshot at {mgr.interval} {step} from {mgr.dir}")
         return trainer.shard_state(state), step
+    def _ema_from(params):
+        # EMA must restart from the warm-started params, not the fresh
+        # init create_state copied — and must hold distinct buffers
+        # (donating the same buffer via two tree leaves is an error)
+        if state.ema_params is None:
+            return None
+        return jax.tree_util.tree_map(jnp.copy, params)
+
     if warm_start_dir:
         params, n = warm_start_params(state.params, warm_start_dir,
                                       warm_start_exclude)
         print(f"Warm-started {n} tensors from {warm_start_dir}")
-        state = trainer.shard_state(state.replace(params=params))
+        state = trainer.shard_state(
+            state.replace(params=params, ema_params=_ema_from(params)))
     elif warm_start_tree is not None:
         params, n = merge_pytrees(state.params, warm_start_tree[0],
                                   warm_start_exclude)
@@ -113,7 +123,8 @@ def bootstrap_state(trainer: Trainer, mgr: CheckpointManager,
         print(f"Warm-started {n} param + {m} batch-stat tensors from "
               "imported checkpoint")
         state = trainer.shard_state(
-            state.replace(params=params, batch_stats=stats))
+            state.replace(params=params, batch_stats=stats,
+                          ema_params=_ema_from(params)))
     return state, 0
 
 

@@ -88,11 +88,13 @@ def main(argv: list[str] | None = None) -> int:
             print("WARNING: no snapshot found under "
                   f"{mgr.dir} — evaluating freshly-initialized weights")
     use_ema = args.use_ema and state.ema_params is not None
-    if use_ema and step > 0 and info.get("ema_restored") == 0:
-        # snapshot was trained without EMA: the ema slot still holds its
-        # fresh-init value — evaluating it would silently score random
-        # weights (reference evals the raw variables in that case)
-        print("WARNING: snapshot has no EMA tensors — "
+    if use_ema and info.get("ema_restored") == 0:
+        # no EMA tensors came from the restore (snapshot trained without
+        # EMA, or a TF checkpoint import — TF ckpts carry no EMA slot):
+        # the ema slot still holds its fresh-init value — evaluating it
+        # would silently score random weights (reference evals the raw
+        # variables in that case)
+        print("WARNING: restore carried no EMA tensors — "
               "falling back to the raw parameters")
         use_ema = False
     eval_params = state.ema_params if use_ema else state.params

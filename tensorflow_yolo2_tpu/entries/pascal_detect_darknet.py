@@ -81,6 +81,13 @@ def make_detect_fn(yolo: YoloConfig, params, batch_stats,
     calibrated on ``calib_images`` (a representative f32 batch —
     required when int8 is set), int8×int8→int32 convs on the MXU.
     """
+    if v2 != yolo.per_slot_classes:
+        raise ValueError(
+            f"v2={v2} disagrees with yolo.per_slot_classes="
+            f"{yolo.per_slot_classes}: the anchor head needs a "
+            "per-slot config (config.yolo_v2_config), the v1 head a "
+            "plain YoloConfig — a mismatch would silently decode with "
+            "the wrong kernel")
     if int8:
         if calib_images is None:
             raise ValueError("int8 serving needs calib_images (a "
@@ -93,13 +100,6 @@ def make_detect_fn(yolo: YoloConfig, params, batch_stats,
         return _make_detect_fn_int8(yolo, params, batch_stats,
                                     object_thresh, use_nms, nms_iou, v2,
                                     calib_images)
-    if v2 != yolo.per_slot_classes:
-        raise ValueError(
-            f"v2={v2} disagrees with yolo.per_slot_classes="
-            f"{yolo.per_slot_classes}: the anchor head needs a "
-            "per-slot config (config.yolo_v2_config), the v1 head a "
-            "plain YoloConfig — a mismatch would silently decode with "
-            "the wrong kernel")
     bn_on_output = not v2
     if fold_bn and batch_stats:
         variables = {"params": fold_params(params, batch_stats)}
@@ -224,6 +224,15 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.image_size % 32:
         p.error("--image-size must be a multiple of 32")
+    if args.int8_export and not args.int8:
+        p.error("--int8-export requires --int8 (it writes the chain "
+                "quantized in this run)")
+    if args.int8_weights and (args.int8 or args.int8_export):
+        p.error("--int8-weights already serves a quantized artifact; "
+                "drop --int8/--int8-export")
+    if args.no_fold_bn and (args.int8 or args.int8_weights):
+        p.error("int8 serving quantizes the BN-folded chain; "
+                "drop --no-fold-bn")
     if args.v2:
         from tensorflow_yolo2_tpu.config import yolo_v2_config
         yolo = yolo_v2_config(args.image_size)
@@ -248,6 +257,9 @@ def main(argv: list[str] | None = None) -> int:
         detect = make_detect_fn_int8(yolo, qlayers, args.threshold,
                                      use_nms=use_nms, v2=args.v2)
     elif args.int8:
+        if not stats:
+            p.error("--int8 needs BatchNorm statistics to fold before "
+                    "quantizing — the restored snapshot has none")
         qlayers = quantize_detector(params, stats, image[None], v2=args.v2)
         if args.int8_export:
             from tensorflow_yolo2_tpu.ops.quant import save_quantized

@@ -258,3 +258,39 @@ def test_ema_decays_once_per_accumulated_update(rng):
     np.testing.assert_allclose(
         np.asarray(state.ema_params["fc4"]["kernel"]), expect,
         rtol=1e-5, atol=1e-7)
+
+
+def test_warm_start_resets_ema_to_warm_started_params(rng, tmp_root):
+    """bootstrap_state with a warm-start tree (e.g. a TF import) must
+    restart the EMA from the warm-started params — not leave the fresh
+    random copy create_state made (an EMA eval would otherwise blend in
+    random init for thousands of steps)."""
+    from tensorflow_yolo2_tpu.entries import common
+    from tensorflow_yolo2_tpu.train.checkpoint import CheckpointManager
+
+    mesh = make_mesh(MeshConfig(data=8, model=1))
+    model = Darknet19Classifier(num_classes=3)
+    trainer = Trainer(model, softmax_task(),
+                      OptimizerConfig(moving_average_decay=0.9), mesh=mesh)
+    images = rng.normal(0, 1, (8, 32, 32, 3)).astype(np.float32)
+
+    donor = model.init(jax.random.PRNGKey(7), jnp.asarray(images[:1]),
+                       train=False)
+    donor_params = jax.tree_util.tree_map(lambda x: x + 1.0,
+                                          donor["params"])
+    mgr = CheckpointManager("darknet19", "voc_2007", save_by_epoch=False)
+    state, step = common.bootstrap_state(
+        trainer, mgr, jax.random.PRNGKey(0), images[:1],
+        warm_start_tree=(donor_params, donor.get("batch_stats", {})))
+    assert step == 0
+    k = state.params["conv19"]["conv"]["kernel"]
+    e = state.ema_params["conv19"]["conv"]["kernel"]
+    np.testing.assert_array_equal(np.asarray(e), np.asarray(k))
+    np.testing.assert_array_equal(
+        np.asarray(k),
+        np.asarray(donor_params["conv19"]["conv"]["kernel"]))
+    # distinct buffers: one donated train step must not alias ema/params
+    i, l = trainer.put_batch(images, np.zeros(8, np.int32))
+    new_state, _ = trainer.train_step(state, i, l)
+    assert np.isfinite(float(np.asarray(new_state.ema_params["conv19"]
+                                        ["conv"]["kernel"]).sum()))
