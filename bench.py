@@ -186,7 +186,34 @@ def get_baseline() -> float:
     return ips
 
 
+def _require_backend(timeout_s: float = 600) -> None:
+    """Fail fast (exit 3) if the JAX backend cannot be reached.
+
+    Device discovery through the axon tunnel blocks forever when the
+    tunnel is down; a bench run must report an error, not hang the
+    driver. The probe runs in a daemon thread — jax backends are global,
+    so the main thread reuses the initialized backend afterwards."""
+    import threading
+
+    ok: dict = {}
+
+    def probe():
+        import jax
+
+        ok["devices"] = [str(d) for d in jax.devices()]
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if "devices" not in ok:
+        print(f"bench: JAX backend init did not complete within "
+              f"{timeout_s:.0f}s (axon tunnel down?) — aborting",
+              file=sys.stderr)
+        os._exit(3)
+
+
 def main() -> int:
+    _require_backend()
     result = measure_tpu()
     try:
         baseline = get_baseline()
