@@ -177,3 +177,110 @@ def test_box_iou_matches_torchvision_formula(rng):
     area_b = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
     theirs = (inter / (area_a + area_b - inter)).numpy()
     np.testing.assert_allclose(ours, theirs, rtol=1e-5, atol=1e-6)
+
+
+def _torch_yolo_v2_loss(net_t, labels_t, cfg):
+    """Independent torch port of losses.yolo_v2.yolo_v2_loss (anchor
+    assignment, sigmoid-xy/exp-wh decode, live-IoU objectness target,
+    per-slot softmax CE)."""
+    import torch.nn.functional as F
+
+    S, B, C = cfg.S, cfg.B, cfg.num_class
+    anchors = torch.tensor(cfg.anchors, dtype=torch.float32)  # (B, 2)
+    offset = torch.from_numpy(np.asarray(cfg.offset)).float()  # (S, S, B)
+    offset_t = offset.permute(1, 0, 2)
+
+    slots = net_t.reshape(net_t.shape[0], S, S, B, 5 + C)
+    boxes = slots[..., :4]
+    conf = slots[..., 4]
+    cls_logits = slots[..., 5:]
+
+    responsible = labels_t[..., 0]
+    gt = labels_t[..., 1:5] / float(cfg.image_size)  # cxcywh in [0, 1]
+    gt_classes = labels_t[..., 5:].argmax(-1)        # (b, S, S) long
+
+    gt_wh_cells = gt[..., 2:4] * S                   # (b, S, S, 2)
+    inter = (torch.minimum(anchors[:, 0], gt_wh_cells[..., None, 0]) *
+             torch.minimum(anchors[:, 1], gt_wh_cells[..., None, 1]))
+    union = (anchors[:, 0] * anchors[:, 1] +
+             gt_wh_cells[..., None, 0] * gt_wh_cells[..., None, 1] - inter)
+    shape_iou = inter / union.clamp_min(1e-10)       # (b, S, S, B)
+    owner = (F.one_hot(shape_iou.argmax(-1), B).float() *
+             responsible.unsqueeze(-1))
+
+    tx_target = gt[..., 0:1] * S - offset
+    ty_target = gt[..., 1:2] * S - offset_t
+    safe_wh = gt_wh_cells.clamp_min(1e-6)
+    tw_target = torch.log(safe_wh[..., 0:1] / anchors[:, 0])
+    th_target = torch.log(safe_wh[..., 1:2] / anchors[:, 1])
+    sx, sy = torch.sigmoid(boxes[..., 0]), torch.sigmoid(boxes[..., 1])
+    coord_sq = ((sx - tx_target) ** 2 + (sy - ty_target) ** 2 +
+                (boxes[..., 2] - tw_target) ** 2 +
+                (boxes[..., 3] - th_target) ** 2)
+    coord = cfg.lambda_coord * (owner * coord_sq).sum(
+        dim=(1, 2, 3)).mean()
+
+    # decode (sigmoid xy + anchor-scaled exp wh, clamped like the jax op)
+    xs = (sx + offset) / S
+    ys = (sy + offset_t) / S
+    ws = anchors[:, 0] * torch.exp(boxes[..., 2].clamp(-8.0, 8.0)) / S
+    hs = anchors[:, 1] * torch.exp(boxes[..., 3].clamp(-8.0, 8.0)) / S
+    d1x, d1y = xs - ws / 2, ys - hs / 2
+    d2x, d2y = xs + ws / 2, ys + hs / 2
+    g = gt.unsqueeze(-2)                              # (b, S, S, 1, 4)
+    g1x, g1y = g[..., 0] - g[..., 2] / 2, g[..., 1] - g[..., 3] / 2
+    g2x, g2y = g[..., 0] + g[..., 2] / 2, g[..., 1] + g[..., 3] / 2
+    iw = (torch.minimum(d2x, g2x) - torch.maximum(d1x, g1x)).clamp_min(0)
+    ih = (torch.minimum(d2y, g2y) - torch.maximum(d1y, g1y)).clamp_min(0)
+    inter_a = iw * ih
+    union_a = (ws * hs + g[..., 2] * g[..., 3] - inter_a).clamp_min(1e-10)
+    ious = (inter_a / union_a).clamp(0.0, 1.0)
+
+    sconf = torch.sigmoid(conf)
+    obj = (owner * (sconf - ious.detach()) ** 2).sum(dim=(1, 2, 3)).mean()
+    noobj = cfg.lambda_noobj * ((1.0 - owner) * sconf ** 2).sum(
+        dim=(1, 2, 3)).mean()
+
+    lsm = F.log_softmax(cls_logits, dim=-1)
+    tgt = gt_classes.unsqueeze(-1).expand(-1, -1, -1, B).unsqueeze(-1)
+    ce = -lsm.gather(-1, tgt).squeeze(-1)            # (b, S, S, B)
+    class_loss = (owner * ce).sum(dim=(1, 2, 3)).mean()
+    return coord + obj + noobj + class_loss
+
+
+def test_yolo_v2_loss_value_and_grad_match_torch(rng):
+    """Full YOLOv2 anchor loss forward AND input-gradient vs the
+    independent torch autograd implementation (the v2 twin of the v1
+    cross-check above)."""
+    from tensorflow_yolo2_tpu.config import yolo_v2_config
+    from tensorflow_yolo2_tpu.losses.yolo_v2 import yolo_v2_loss
+
+    cfg = yolo_v2_config(224)
+    batch = 3
+    net = rng.normal(0, 0.5, (batch, cfg.S, cfg.S,
+                              cfg.B * (5 + cfg.num_class))).astype(
+        np.float32)
+    labels = np.zeros((batch, cfg.S, cfg.S, 5 + cfg.num_class), np.float32)
+    for b in range(batch):
+        for (r, c) in ((1, 2), (4, 4), (6, 0)):
+            labels[b, r, c, 0] = 1.0
+            labels[b, r, c, 1:5] = (
+                c * 32 + 16 + rng.randint(-5, 5),
+                r * 32 + 16 + rng.randint(-5, 5),
+                rng.randint(30, 120), rng.randint(30, 120))
+            labels[b, r, c, 5 + rng.randint(cfg.num_class)] = 1.0
+
+    total, _ = jax.jit(lambda n: yolo_v2_loss(n, jnp.asarray(labels), cfg))(
+        jnp.asarray(net))
+    grad = jax.grad(
+        lambda n: yolo_v2_loss(n, jnp.asarray(labels), cfg)[0])(
+        jnp.asarray(net))
+
+    net_t = torch.from_numpy(net).requires_grad_(True)
+    loss_t = _torch_yolo_v2_loss(net_t, torch.from_numpy(labels), cfg)
+    loss_t.backward()
+
+    np.testing.assert_allclose(float(total), float(loss_t.detach()),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(grad), net_t.grad.numpy(),
+                               rtol=1e-4, atol=1e-6)
