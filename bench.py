@@ -198,17 +198,24 @@ def _require_backend(timeout_s: float = 600) -> None:
     ok: dict = {}
 
     def probe():
-        import jax
+        try:
+            import jax
 
-        ok["devices"] = [str(d) for d in jax.devices()]
+            ok["devices"] = [str(d) for d in jax.devices()]
+        except Exception as e:  # crashed ≠ hung: report the real cause
+            ok["error"] = repr(e)
 
     t = threading.Thread(target=probe, daemon=True)
     t.start()
     t.join(timeout_s)
     if "devices" not in ok:
-        print(f"bench: JAX backend init did not complete within "
-              f"{timeout_s:.0f}s (axon tunnel down?) — aborting",
-              file=sys.stderr)
+        if "error" in ok:
+            print(f"bench: JAX backend init failed: {ok['error']} — "
+                  "aborting", file=sys.stderr)
+        else:
+            print(f"bench: JAX backend init did not complete within "
+                  f"{timeout_s:.0f}s (axon tunnel down?) — aborting",
+                  file=sys.stderr)
         os._exit(3)
 
 

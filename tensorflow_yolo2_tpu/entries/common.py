@@ -93,6 +93,13 @@ def bootstrap_state(trainer: Trainer, mgr: CheckpointManager,
             if ema is not None and raw.get("ema_params") is not None:
                 ema, info["ema_restored"] = merge_pytrees(
                     ema, raw["ema_params"])
+            elif ema is not None:
+                # snapshot carries no EMA slot (trained without EMA):
+                # restart the EMA from the restored params — keeping the
+                # fresh-init copy would blend random weights into the
+                # average for ~1/(1-decay) steps and poison later
+                # snapshots' EMA slots
+                ema = jax.tree_util.tree_map(jnp.copy, params)
             state = trainer.resume_optimizer(
                 state.replace(params=params, batch_stats=stats,
                               ema_params=ema))

@@ -230,6 +230,9 @@ def main(argv: list[str] | None = None) -> int:
     if args.int8_weights and (args.int8 or args.int8_export):
         p.error("--int8-weights already serves a quantized artifact; "
                 "drop --int8/--int8-export")
+    if args.int8_weights and args.tf_checkpoint:
+        p.error("--int8-weights serves the artifact's own weights; "
+                "--tf-checkpoint would be ignored")
     if args.no_fold_bn and (args.int8 or args.int8_weights):
         p.error("int8 serving quantizes the BN-folded chain; "
                 "drop --no-fold-bn")

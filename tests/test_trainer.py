@@ -294,3 +294,36 @@ def test_warm_start_resets_ema_to_warm_started_params(rng, tmp_root):
     new_state, _ = trainer.train_step(state, i, l)
     assert np.isfinite(float(np.asarray(new_state.ema_params["conv19"]
                                         ["conv"]["kernel"]).sum()))
+
+
+def test_optimizer_swap_restore_resets_ema(rng, tmp_root):
+    """Resuming a no-EMA snapshot with an EMA-enabled optimizer takes the
+    optimizer-swap restore path; the EMA slot must restart from the
+    restored params, not keep its fresh-init copy."""
+    from tensorflow_yolo2_tpu.entries import common
+    from tensorflow_yolo2_tpu.train.checkpoint import CheckpointManager
+
+    mesh = make_mesh(MeshConfig(data=8, model=1))
+    model = Darknet19Classifier(num_classes=3)
+    images = rng.normal(0, 1, (8, 32, 32, 3)).astype(np.float32)
+
+    t1 = Trainer(model, softmax_task(), OptimizerConfig(name="sgd"),
+                 mesh=mesh)
+    s1 = t1.create_state(jax.random.PRNGKey(3), images[:1])
+    mgr = CheckpointManager("darknet19", "voc_2007", save_by_epoch=False)
+    mgr.save(5, jax.device_get(s1))
+
+    t2 = Trainer(model, softmax_task(),
+                 OptimizerConfig(name="adam", moving_average_decay=0.9),
+                 mesh=mesh)
+    info: dict = {}
+    state, step = common.bootstrap_state(
+        t2, mgr, jax.random.PRNGKey(0), images[:1], info=info)
+    assert step == 5
+    k = np.asarray(state.params["conv19"]["conv"]["kernel"])
+    e = np.asarray(state.ema_params["conv19"]["conv"]["kernel"])
+    np.testing.assert_array_equal(e, k)
+    np.testing.assert_array_equal(
+        k, np.asarray(s1.params["conv19"]["conv"]["kernel"]))
+    # and the eval-side guard still knows no EMA tensors were restored
+    assert info.get("ema_restored") == 0
