@@ -17,8 +17,10 @@ import numpy as np
 from tensorflow_yolo2_tpu.config import VOC_CLASSES, Paths, YoloConfig
 from tensorflow_yolo2_tpu.data.augment import image_read
 from tensorflow_yolo2_tpu.models.resnet import ResNet50Detector
-from tensorflow_yolo2_tpu.ops.nms import nms_fixed
-from tensorflow_yolo2_tpu.ops.pallas_decode import decode_grid_pallas
+from tensorflow_yolo2_tpu.ops.pallas_decode import (
+    decode_grid_pallas,
+    decode_nms_pallas,
+)
 from tensorflow_yolo2_tpu.train.checkpoint import CheckpointManager
 from tensorflow_yolo2_tpu.utils.visualize import draw_detections
 
@@ -53,10 +55,11 @@ def main(argv: list[str] | None = None) -> int:
     @jax.jit
     def _detect(variables, images):
         grid = model.apply(variables, images, train=False)
-        dets = decode_grid_pallas(grid, yolo, args.threshold)
         if args.nms:
-            dets = jax.vmap(lambda d: nms_fixed(d, 0.5, max_outputs=32))(dets)
-        return dets
+            # same fused Pallas serving kernel as pascal_detect_darknet
+            return decode_nms_pallas(grid, yolo, args.threshold, 0.5,
+                                     max_outputs=32)
+        return decode_grid_pallas(grid, yolo, args.threshold)
 
     def detect(images):
         return _detect(variables, images)
