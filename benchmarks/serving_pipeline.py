@@ -1,9 +1,11 @@
-"""End-to-end serving throughput: disk → native host IO → TPU → host NMS.
+"""End-to-end serving throughput: disk → native host IO → TPU (fused decode+NMS).
 
 Measures the FULL detect pipeline, not just the device forward:
 JPEG decode + fused native resize/normalize (utils.native) in a prefetch
-thread pool, batched device forward + Pallas decode, and the native host
-NMS post-process — the serving shape of entries/pascal_detect_darknet.
+thread pool, then the batched device forward + the fused Pallas
+decode+NMS serving kernel — the same chain pascal_detect_darknet --nms
+serves. The old host-NMS tail is gone: suppression happens on-chip and
+the host fetch is the K kept slots.
 
 Usage: python benchmarks/serving_pipeline.py [image_dir] [batch] [steps]
 With no image_dir, synthesizes a directory of JPEGs first.
@@ -24,7 +26,7 @@ from tensorflow_yolo2_tpu.data.augment import image_read
 from tensorflow_yolo2_tpu.data.prefetch import PrefetchLoader, device_prefetch
 from tensorflow_yolo2_tpu.models.darknet import Darknet19Detector
 from tensorflow_yolo2_tpu.models.fold import fold_params
-from tensorflow_yolo2_tpu.ops.pallas_decode import decode_grid_pallas
+from tensorflow_yolo2_tpu.ops.pallas_decode import decode_nms_pallas
 from tensorflow_yolo2_tpu.utils import native
 from tensorflow_yolo2_tpu.utils.jaxsetup import enable_compilation_cache
 
@@ -65,7 +67,8 @@ def main() -> int:
     @jax.jit
     def forward(params, images):
         grid = fmodel.apply({"params": params}, images, train=False)
-        return decode_grid_pallas(grid, yolo, 0.3)
+        # production serving path: the fused decode+NMS kernel
+        return decode_nms_pallas(grid, yolo, 0.3, 0.5, max_outputs=32)
 
     cursor = [0]
 
@@ -88,12 +91,9 @@ def main() -> int:
         for _ in range(steps):
             pending.append(forward(folded, next(stream)))
         for dets in pending:
-            boxes = np.asarray(dets.boxes)
-            scores = np.asarray(dets.scores)
-            classes = np.asarray(dets.classes)
-            for b in range(boxes.shape[0]):
-                keep = native.nms(boxes[b], scores[b], classes[b], 0.5)
-                n_det += 0 if keep is None else len(keep)
+            # NMS already ran inside the fused kernel; survivors are the
+            # score>0 slots
+            n_det += int((np.asarray(dets.scores) > 0).sum())
         dt = time.perf_counter() - t0
     ips = steps * batch / dt
     print(f"serving pipeline (native_io={native.available()}): "
