@@ -214,3 +214,42 @@ def test_registry_zoo_models_forward():
         y = model.apply(variables, x, train=False)
         assert y.shape == (1, 7)
         assert np.isfinite(np.asarray(y)).all()
+
+
+@pytest.mark.slow
+def test_resnet_pair_and_eval_map_entries(tmp_root):
+    """The remaining CLI surfaces end-to-end: pascal_train_resnet →
+    pascal_detect_resnet (fused decode+NMS serving), and the
+    pascal_eval_map entry over a trained darknet snapshot."""
+    from tensorflow_yolo2_tpu.entries import (
+        pascal_detect_resnet,
+        pascal_eval_map,
+        pascal_train_darknet,
+        pascal_train_resnet,
+    )
+
+    voc = synthetic.make_voc(str(tmp_root / "data" / "VOCdevkit"),
+                             n_images=3)
+    rc = pascal_train_resnet.main([
+        "--iters", "2", "--batch-size", "2", "--num-workers", "1",
+        "--save-every", "2", "--data-path", voc,
+        "--compute-dtype", "float32"])
+    assert rc == 0
+    assert (tmp_root / "ckpts" / "resnet50" / "voc_2007" /
+            "train_iter_2").exists()
+    image = os.path.join(voc, "JPEGImages", "000000.jpg")
+    out_path = str(tmp_root / "out_resnet.png")
+    rc = pascal_detect_resnet.main(
+        [image, "--threshold", "0.05", "--nms", "--out", out_path])
+    assert rc == 0
+    assert os.path.exists(out_path)
+
+    rc = pascal_train_darknet.main([
+        "--iters", "2", "--batch-size", "2", "--num-workers", "1",
+        "--save-every", "2", "--data-path", voc,
+        "--compute-dtype", "float32"])
+    assert rc == 0
+    rc = pascal_eval_map.main([
+        "--image-set", "trainval", "--data-path", voc,
+        "--batch-size", "2", "--max-images", "2", "--threshold", "0.05"])
+    assert rc == 0

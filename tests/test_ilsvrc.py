@@ -1,5 +1,7 @@
 """ILSVRC loader tests on a synthetic ILSVRC directory tree."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -83,6 +85,16 @@ def test_imagenet_train_and_test_entries(tmp_root, ilsvrc_dir):
         "--dataset-split-name", "validation", "--data-path", ilsvrc_dir,
         "--batch-size", "3", "--max-batches", "1",
         "--compute-dtype", "float32"])
+    assert rc == 0
+
+    # single-image top-5 predict from the same snapshot
+    import glob as _glob
+
+    from tensorflow_yolo2_tpu.entries import imagenet_predict_darknet
+
+    image = sorted(_glob.glob(os.path.join(
+        ilsvrc_dir, "Data", "CLS-LOC", "train", "*", "*.JPEG")))[0]
+    rc = imagenet_predict_darknet.main([image, "--data-path", ilsvrc_dir])
     assert rc == 0
 
 
