@@ -83,3 +83,25 @@ def test_eval_with_ema_switch(rng):
                               jnp.asarray(images), train=False)
     acc = float(np.mean(np.argmax(np.asarray(direct), -1) == labels))
     assert acc == float(np.asarray(m_raw["accuracy"]))
+
+
+def test_profile_dir_captures_trace(tmp_root):
+    """--profile-dir wraps the train loop in a jax.profiler trace
+    (utils.profiling.maybe_trace); the trace artifacts must land in the
+    requested directory."""
+    import os
+
+    from tests import synthetic
+    from tensorflow_yolo2_tpu.entries import flowers_train
+
+    synthetic.make_flowers(str(tmp_root / "data" / "TF_flowers"),
+                           per_class=4)
+    trace_dir = str(tmp_root / "trace")
+    rc = flowers_train.main([
+        "--iters", "2", "--batch-size", "2", "--image-size", "32",
+        "--num-workers", "1", "--save-every", "2", "--eval-every", "100",
+        "--compute-dtype", "float32", "--profile-dir", trace_dir])
+    assert rc == 0
+    found = [os.path.join(r, f) for r, _, fs in os.walk(trace_dir)
+             for f in fs]
+    assert found, f"no profiler artifacts under {trace_dir}"
