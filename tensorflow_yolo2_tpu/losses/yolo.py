@@ -46,6 +46,73 @@ class YoloLossAux(NamedTuple):
     object_mask: jnp.ndarray  # (batch, S, S, B)
 
 
+def yolo_loss_term_sums(net: jnp.ndarray, labels: jnp.ndarray,
+                        cfg: YoloConfig, offsets=None):
+    """Per-image λ-weighted SUM-over-grid loss terms — the shard-local
+    core of :func:`yolo_loss`.
+
+    Because every term is a sum of per-cell squares, the loss over a
+    row-sharded grid is the ``psum`` of these sums (parallel.spatial's
+    H-sharded training path); ``offsets`` carries the shard's global
+    (column, row) index grids. Returns
+    ``(class_s, object_s, noobject_s, coord_s, ious, object_mask)`` with
+    the four sums shaped (batch,).
+    """
+    net = net.astype(jnp.float32)
+    labels = labels.astype(jnp.float32)
+    S, B = cfg.S, cfg.B
+
+    predict_classes, predict_conf, predict_boxes = split_grid(net, cfg)
+
+    # --- class loss (net_utils.py:290-297) ---
+    responsible = labels[..., 0:1]  # (batch, rows, S, 1)
+    classes = labels[..., 5:]
+    class_delta = responsible * (predict_classes - classes)
+    class_s = jnp.sum(jnp.square(class_delta), axis=(1, 2, 3))
+
+    # --- geometry: both box sets in absolute [0,1] cxcywh ---
+    gt_boxes = labels[..., 1:5][:, :, :, None, :]  # (batch, rows, S, 1, 4) px
+    gt_boxes = jnp.broadcast_to(
+        gt_boxes, gt_boxes.shape[:3] + (B, 4)) / float(cfg.image_size)
+    predict_abs = grid_to_absolute(predict_boxes, cfg, offsets=offsets)
+    ious = box_iou(predict_abs, gt_boxes)  # (batch, rows, S, B)
+
+    # Responsible box = per-cell IoU argmax (ties → all), masked to
+    # responsible cells (net_utils.py:322-326). The comparison blocks
+    # gradient through the mask, matching TF.
+    cell_max = jnp.max(ious, axis=3, keepdims=True)
+    object_mask = (ious >= cell_max).astype(jnp.float32) * responsible
+    noobject_mask = 1.0 - object_mask
+
+    # --- coordinate loss on cell-relative (x, y, √w, √h) (net_utils.py:328-347) ---
+    if offsets is None:
+        offset = jnp.asarray(cfg.offset)  # (S, S, B)
+        offset_t = jnp.transpose(offset, (1, 0, 2))
+    else:
+        offset, offset_t = offsets
+    gt_rel = jnp.stack(
+        [
+            gt_boxes[..., 0] * S - offset,
+            gt_boxes[..., 1] * S - offset_t,
+            jnp.sqrt(gt_boxes[..., 2]),
+            jnp.sqrt(gt_boxes[..., 3]),
+        ],
+        axis=-1,
+    )
+    boxes_delta = object_mask[..., None] * (predict_boxes - gt_rel)
+    coord_s = jnp.sum(jnp.square(boxes_delta),
+                      axis=(1, 2, 3, 4)) * cfg.lambda_coord
+
+    # --- object / no-object confidence losses (net_utils.py:349-359) ---
+    object_delta = object_mask * (predict_conf - ious)
+    object_s = jnp.sum(jnp.square(object_delta), axis=(1, 2, 3))
+    noobject_delta = noobject_mask * predict_conf
+    noobject_s = jnp.sum(jnp.square(noobject_delta),
+                         axis=(1, 2, 3)) * cfg.lambda_noobj
+
+    return class_s, object_s, noobject_s, coord_s, ious, object_mask
+
+
 def yolo_loss(net: jnp.ndarray, labels: jnp.ndarray,
               cfg: YoloConfig) -> tuple[jnp.ndarray, YoloLossAux]:
     """Compute the YOLOv1 grid loss.
@@ -58,54 +125,12 @@ def yolo_loss(net: jnp.ndarray, labels: jnp.ndarray,
     Returns:
       (total_loss scalar, YoloLossAux).
     """
-    net = net.astype(jnp.float32)
-    labels = labels.astype(jnp.float32)
-    S, B = cfg.S, cfg.B
-
-    predict_classes, predict_conf, predict_boxes = split_grid(net, cfg)
-
-    # --- class loss (net_utils.py:290-297) ---
-    responsible = labels[..., 0:1]  # (batch, S, S, 1)
-    classes = labels[..., 5:]
-    class_delta = responsible * (predict_classes - classes)
-    class_loss = jnp.mean(jnp.sum(jnp.square(class_delta), axis=(1, 2, 3)))
-
-    # --- geometry: both box sets in absolute [0,1] cxcywh ---
-    gt_boxes = labels[..., 1:5][:, :, :, None, :]  # (batch, S, S, 1, 4) pixels
-    gt_boxes = jnp.broadcast_to(
-        gt_boxes, gt_boxes.shape[:3] + (B, 4)) / float(cfg.image_size)
-    predict_abs = grid_to_absolute(predict_boxes, cfg)
-    ious = box_iou(predict_abs, gt_boxes)  # (batch, S, S, B)
-
-    # Responsible box = per-cell IoU argmax (ties → all), masked to
-    # responsible cells (net_utils.py:322-326). The comparison blocks
-    # gradient through the mask, matching TF.
-    cell_max = jnp.max(ious, axis=3, keepdims=True)
-    object_mask = (ious >= cell_max).astype(jnp.float32) * responsible
-    noobject_mask = 1.0 - object_mask
-
-    # --- coordinate loss on cell-relative (x, y, √w, √h) (net_utils.py:328-347) ---
-    offset = jnp.asarray(cfg.offset)  # (S, S, B)
-    offset_t = jnp.transpose(offset, (1, 0, 2))
-    gt_rel = jnp.stack(
-        [
-            gt_boxes[..., 0] * S - offset,
-            gt_boxes[..., 1] * S - offset_t,
-            jnp.sqrt(gt_boxes[..., 2]),
-            jnp.sqrt(gt_boxes[..., 3]),
-        ],
-        axis=-1,
-    )
-    boxes_delta = object_mask[..., None] * (predict_boxes - gt_rel)
-    coord_loss = jnp.mean(
-        jnp.sum(jnp.square(boxes_delta), axis=(1, 2, 3, 4))) * cfg.lambda_coord
-
-    # --- object / no-object confidence losses (net_utils.py:349-359) ---
-    object_delta = object_mask * (predict_conf - ious)
-    object_loss = jnp.mean(jnp.sum(jnp.square(object_delta), axis=(1, 2, 3)))
-    noobject_delta = noobject_mask * predict_conf
-    noobject_loss = jnp.mean(
-        jnp.sum(jnp.square(noobject_delta), axis=(1, 2, 3))) * cfg.lambda_noobj
+    class_s, object_s, noobject_s, coord_s, ious, object_mask = \
+        yolo_loss_term_sums(net, labels, cfg)
+    class_loss = jnp.mean(class_s)
+    object_loss = jnp.mean(object_s)
+    noobject_loss = jnp.mean(noobject_s)
+    coord_loss = jnp.mean(coord_s)
 
     total = class_loss + object_loss + noobject_loss + coord_loss
     return total, YoloLossAux(class_loss, object_loss, noobject_loss,

@@ -70,16 +70,26 @@ def split_grid_v2(net: jnp.ndarray, cfg: YoloConfig):
     return classes, conf, boxes
 
 
-def grid_to_absolute(raw_boxes: jnp.ndarray, cfg: YoloConfig) -> jnp.ndarray:
+def grid_to_absolute(raw_boxes: jnp.ndarray, cfg: YoloConfig,
+                     offsets=None) -> jnp.ndarray:
     """YOLOv1 box transform: raw (..., S, S, B, 4) → absolute cxcywh in [0,1].
 
     x_abs = (tx + col) / S, y_abs = (ty + row) / S, w = tw², h = th²
     (reference: net_utils.py:305-316 / :403-407).
+
+    ``offsets`` overrides the (column, row) index grids — a
+    ``(col_offset, row_offset)`` pair of (rows, S, B) arrays. Used by the
+    spatially-sharded loss, whose shard sees only a row slice of the grid
+    and must offset rows by its global position (parallel.spatial).
     """
     S = cfg.S
-    offset = jnp.asarray(cfg.offset)  # [S, S, B], offset[y, x, b] = x
+    if offsets is None:
+        offset = jnp.asarray(cfg.offset)  # [S, S, B], offset[y, x, b] = x
+        offset_t = jnp.transpose(offset, (1, 0, 2))
+    else:
+        offset, offset_t = offsets
     xs = (raw_boxes[..., 0] + offset) / float(S)
-    ys = (raw_boxes[..., 1] + jnp.transpose(offset, (1, 0, 2))) / float(S)
+    ys = (raw_boxes[..., 1] + offset_t) / float(S)
     ws = jnp.square(raw_boxes[..., 2])
     hs = jnp.square(raw_boxes[..., 3])
     return jnp.stack([xs, ys, ws, hs], axis=-1)

@@ -16,8 +16,10 @@ runs the whole Darknet19 trunk inside ``shard_map``:
 
 This is the CNN cousin of ring attention: per-layer neighbor exchanges
 (O(W·C) bytes) ride the ICI while each chip holds 1/N of every
-activation. Works on folded inference params (conv+bias only,
-models.fold).
+activation. Works on folded params (conv+bias only, models.fold) — for
+inference (:func:`spatial_backbone_fn`) and for frozen-BN training:
+:func:`spatial_yolo_loss_fn` runs trunk + detection head + the YOLO loss
+sharded, psum-reduced, and differentiable end-to-end.
 """
 
 from __future__ import annotations
@@ -81,6 +83,95 @@ def _sharded_trunk(params: Mapping[str, Any], x: jnp.ndarray,
             x = _conv(x, k, b, h_padding="SAME")
         x = leaky_relu(x)
     return x
+
+
+def _sharded_detector(params: Mapping[str, Any], x: jnp.ndarray,
+                      axis_name: str, bn_on_output: bool) -> jnp.ndarray:
+    """Folded Darknet19 detector (trunk + head) on one H-shard.
+
+    Head per reference darknet19_detection (darknet.py:182-201): 3×(3×3
+    conv, halo-exchanged) + 1×1 output conv, leaky on the output when the
+    BN-on-output quirk is active (models.darknet.DetectionHead)."""
+    x = _sharded_trunk(params["backbone"], x, axis_name)
+    head = params["detection"]
+    for i in range(1, 4):
+        p = head[f"conv{i}"]["conv"]
+        x = leaky_relu(_conv(halo_exchange(x, axis_name),
+                             p["kernel"], p["bias"], h_padding="VALID"))
+    p = head["output"]["conv"]
+    x = _conv(x, p["kernel"], p["bias"], h_padding="SAME")
+    if bn_on_output:
+        x = leaky_relu(x)
+    return x.astype(jnp.float32)
+
+
+def spatial_yolo_loss_fn(mesh: Mesh, cfg, axis: str = "data",
+                         bn_on_output: bool = True):
+    """Build a jitted H-sharded YOLO detection LOSS — spatial sharding
+    for *training*, not just inference.
+
+    The trunk + detection head run inside ``shard_map`` with halo
+    exchange; each shard owns ``S/n`` grid rows and the matching label
+    rows, computes its per-image λ-weighted loss-term sums with
+    globally-correct row offsets (``losses.yolo.yolo_loss_term_sums``),
+    and the total is the ``psum`` of the shard sums — numerically the
+    unsharded :func:`losses.yolo.yolo_loss` (sums of per-cell squares
+    commute with the row partition). Differentiable end-to-end
+    (``ppermute`` transposes to the reverse permute), so
+    ``jax.grad(loss_fn)`` trains at resolutions whose activations exceed
+    one chip. Uses folded conv+bias params (frozen-BN fine-tuning).
+
+    Returns ``loss_fn(folded_params, images, labels)`` with images
+    (B, H, W, 3) H-sharded and labels (B, S, S, 5+C) row-sharded over
+    ``axis``; requires H % (32·n) == 0 and S % n == 0.
+    """
+    import numpy as np
+
+    from tensorflow_yolo2_tpu.losses.yolo import yolo_loss_term_sums
+
+    n = mesh.shape[axis]
+    if cfg.S % n:
+        raise ValueError(f"S={cfg.S} must be divisible by the {n}-way "
+                         "spatial axis")
+    rows = cfg.S // n
+    offset_np = np.asarray(cfg.offset, np.float32)          # [y,x,b] = x
+    offset_t_np = offset_np.transpose(1, 0, 2).copy()       # [y,x,b] = y
+
+    def _local(params, x, labels):
+        grid = _sharded_detector(params, x, axis, bn_on_output)
+        idx = lax.axis_index(axis)
+        off = lax.dynamic_slice_in_dim(
+            jnp.asarray(offset_np), idx * rows, rows, 0)
+        off_t = lax.dynamic_slice_in_dim(
+            jnp.asarray(offset_t_np), idx * rows, rows, 0)
+        class_s, object_s, noobject_s, coord_s, _, _ = yolo_loss_term_sums(
+            grid, labels, cfg, offsets=(off, off_t))
+        local = jnp.mean(class_s + object_s + noobject_s + coord_s)
+        return lax.psum(local, axis)
+
+    fn = jax.jit(
+        jax.shard_map(
+            _local,
+            mesh=mesh,
+            in_specs=(P(), P(None, axis, None, None),
+                      P(None, axis, None, None)),
+            out_specs=P(),
+        )
+    )
+
+    def loss_fn(folded_params, images, labels):
+        h = images.shape[1]
+        if h % (32 * n) != 0:
+            raise ValueError(
+                f"H={h} must be divisible by 32·{n} for {n}-way spatial "
+                "sharding (5 pools of stride 2)")
+        images = jax.device_put(
+            images, NamedSharding(mesh, P(None, axis, None, None)))
+        labels = jax.device_put(
+            labels, NamedSharding(mesh, P(None, axis, None, None)))
+        return fn(folded_params, images, labels)
+
+    return loss_fn
 
 
 def spatial_backbone_fn(mesh: Mesh, axis: str = "data"):

@@ -97,3 +97,54 @@ def test_spatial_trunk_gradient_matches_unsharded():
     for gs, gr in zip(flat_s, flat_r):
         np.testing.assert_allclose(np.asarray(gs), np.asarray(gr),
                                    rtol=2e-3, atol=2e-5)
+
+
+@pytest.mark.slow
+def test_spatial_yolo_loss_and_grad_match_unsharded():
+    """End-to-end spatial TRAINING path: the 4-way H-sharded detector +
+    psum-reduced YOLO loss (spatial_yolo_loss_fn) must match the
+    unsharded folded detector + yolo_loss in value AND param gradients."""
+    from tensorflow_yolo2_tpu.config import YoloConfig
+    from tensorflow_yolo2_tpu.losses.yolo import yolo_loss
+    from tensorflow_yolo2_tpu.models.darknet import Darknet19Detector
+    from tensorflow_yolo2_tpu.parallel.spatial import spatial_yolo_loss_fn
+
+    import jax.numpy as jnp
+
+    mesh = make_mesh(MeshConfig(data=4, model=1))
+    cfg = YoloConfig(S=4, B=2, num_class=4, image_size=128)
+    model = Darknet19Detector(output_channels=cfg.cell_channels)
+    rng = np.random.RandomState(5)
+    x = rng.normal(0, 1, (2, 128, 128, 3)).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), x[:1, :32, :32],
+                           train=False)
+    folded = fold_params(variables["params"], variables["batch_stats"])
+
+    labels = np.zeros((2, cfg.S, cfg.S, 5 + cfg.num_class), np.float32)
+    for b in range(2):
+        for (r, c) in ((0, 1), (2, 3), (3, 0)):
+            labels[b, r, c, 0] = 1.0
+            labels[b, r, c, 1:5] = (c * 32 + 16, r * 32 + 16,
+                                    rng.randint(20, 60),
+                                    rng.randint(20, 60))
+            labels[b, r, c, 5 + rng.randint(cfg.num_class)] = 1.0
+
+    loss_fn = spatial_yolo_loss_fn(mesh, cfg)
+    got = float(loss_fn(folded, x, labels))
+
+    ref_model = Darknet19Detector(output_channels=cfg.cell_channels,
+                                  fold_bn=True)
+
+    def ref_loss(p):
+        grid = ref_model.apply({"params": p}, x, train=False)
+        return yolo_loss(grid, jnp.asarray(labels), cfg)[0]
+
+    want = float(ref_loss(folded))
+    np.testing.assert_allclose(got, want, rtol=1e-4)
+
+    g_sharded = jax.grad(lambda p: loss_fn(p, x, labels))(folded)
+    g_ref = jax.grad(ref_loss)(folded)
+    for gs, gr in zip(jax.tree_util.tree_leaves(g_sharded),
+                      jax.tree_util.tree_leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(gs), np.asarray(gr),
+                                   rtol=2e-3, atol=2e-5)
