@@ -105,6 +105,36 @@ def _sharded_detector(params: Mapping[str, Any], x: jnp.ndarray,
     return x.astype(jnp.float32)
 
 
+def spatial_detector_fn(mesh: Mesh, axis: str = "data",
+                        bn_on_output: bool = True):
+    """Build a jitted H-sharded detector forward: folded trunk + head →
+    the (B, S, S, cc) detection grid, gathered. High-resolution serving
+    twin of :func:`spatial_yolo_loss_fn`; decode the returned grid with
+    ops.pallas_decode.decode_nms_pallas as usual."""
+    fn = jax.jit(
+        jax.shard_map(
+            partial(_sharded_detector, axis_name=axis,
+                    bn_on_output=bn_on_output),
+            mesh=mesh,
+            in_specs=(P(), P(None, axis, None, None)),
+            out_specs=P(None, axis, None, None),
+        )
+    )
+
+    def forward(folded_params, images):
+        n = mesh.shape[axis]
+        h = images.shape[1]
+        if h % (32 * n) != 0:
+            raise ValueError(
+                f"H={h} must be divisible by 32·{n} for {n}-way spatial "
+                "sharding (5 pools of stride 2)")
+        images = jax.device_put(
+            images, NamedSharding(mesh, P(None, axis, None, None)))
+        return fn(folded_params, images)
+
+    return forward
+
+
 def spatial_yolo_loss_fn(mesh: Mesh, cfg, axis: str = "data",
                          bn_on_output: bool = True):
     """Build a jitted H-sharded YOLO detection LOSS — spatial sharding

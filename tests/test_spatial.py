@@ -148,3 +148,28 @@ def test_spatial_yolo_loss_and_grad_match_unsharded():
                       jax.tree_util.tree_leaves(g_ref)):
         np.testing.assert_allclose(np.asarray(gs), np.asarray(gr),
                                    rtol=2e-3, atol=2e-5)
+
+
+@pytest.mark.slow
+def test_spatial_detector_forward_matches_unsharded():
+    """H-sharded detector forward (trunk + head) == unsharded folded
+    detector grid; the serving twin of the spatial loss path."""
+    from tensorflow_yolo2_tpu.config import YoloConfig
+    from tensorflow_yolo2_tpu.models.darknet import Darknet19Detector
+    from tensorflow_yolo2_tpu.parallel.spatial import spatial_detector_fn
+
+    mesh = make_mesh(MeshConfig(data=4, model=1))
+    cfg = YoloConfig(S=4, B=2, num_class=4, image_size=128)
+    model = Darknet19Detector(output_channels=cfg.cell_channels)
+    x = np.random.RandomState(9).normal(
+        0, 1, (2, 128, 128, 3)).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), x[:1, :32, :32],
+                           train=False)
+    folded = fold_params(variables["params"], variables["batch_stats"])
+
+    ref = Darknet19Detector(output_channels=cfg.cell_channels,
+                            fold_bn=True)
+    want = np.asarray(ref.apply({"params": folded}, x, train=False))
+    got = np.asarray(spatial_detector_fn(mesh)(folded, x))
+    assert got.shape == want.shape == (2, 4, 4, cfg.cell_channels)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
