@@ -105,6 +105,17 @@ def _sharded_detector(params: Mapping[str, Any], x: jnp.ndarray,
     return x.astype(jnp.float32)
 
 
+def _put_h_sharded(mesh: Mesh, axis: str, x: jnp.ndarray) -> jnp.ndarray:
+    """Validate H divisibility and lay ``x`` out H-sharded over ``axis``."""
+    n = mesh.shape[axis]
+    h = x.shape[1]
+    if h % (32 * n) != 0:
+        raise ValueError(
+            f"H={h} must be divisible by 32·{n} for {n}-way spatial "
+            "sharding (5 pools of stride 2)")
+    return jax.device_put(x, NamedSharding(mesh, P(None, axis, None, None)))
+
+
 def spatial_detector_fn(mesh: Mesh, axis: str = "data",
                         bn_on_output: bool = True):
     """Build a jitted H-sharded detector forward: folded trunk + head →
@@ -122,15 +133,7 @@ def spatial_detector_fn(mesh: Mesh, axis: str = "data",
     )
 
     def forward(folded_params, images):
-        n = mesh.shape[axis]
-        h = images.shape[1]
-        if h % (32 * n) != 0:
-            raise ValueError(
-                f"H={h} must be divisible by 32·{n} for {n}-way spatial "
-                "sharding (5 pools of stride 2)")
-        images = jax.device_put(
-            images, NamedSharding(mesh, P(None, axis, None, None)))
-        return fn(folded_params, images)
+        return fn(folded_params, _put_h_sharded(mesh, axis, images))
 
     return forward
 
@@ -190,13 +193,19 @@ def spatial_yolo_loss_fn(mesh: Mesh, cfg, axis: str = "data",
     )
 
     def loss_fn(folded_params, images, labels):
-        h = images.shape[1]
-        if h % (32 * n) != 0:
+        # the detector grid must match cfg's label grid exactly — a
+        # mismatch would silently broadcast label rows across grid rows
+        # inside the shard and train on garbage
+        if images.shape[1] != 32 * cfg.S or images.shape[2] != 32 * cfg.S:
             raise ValueError(
-                f"H={h} must be divisible by 32·{n} for {n}-way spatial "
-                "sharding (5 pools of stride 2)")
-        images = jax.device_put(
-            images, NamedSharding(mesh, P(None, axis, None, None)))
+                f"images {images.shape[1]}×{images.shape[2]} do not map "
+                f"to cfg's S={cfg.S} grid — expected "
+                f"{32 * cfg.S}×{32 * cfg.S}")
+        if labels.shape[1:3] != (cfg.S, cfg.S):
+            raise ValueError(
+                f"labels grid {labels.shape[1:3]} != (S, S) = "
+                f"({cfg.S}, {cfg.S})")
+        images = _put_h_sharded(mesh, axis, images)
         labels = jax.device_put(
             labels, NamedSharding(mesh, P(None, axis, None, None)))
         return fn(folded_params, images, labels)
@@ -221,14 +230,6 @@ def spatial_backbone_fn(mesh: Mesh, axis: str = "data"):
     )
 
     def forward(folded_params, images):
-        n = mesh.shape[axis]
-        h = images.shape[1]
-        if h % (32 * n) != 0:
-            raise ValueError(
-                f"H={h} must be divisible by 32·{n} for {n}-way spatial "
-                "sharding (5 pools of stride 2)")
-        images = jax.device_put(
-            images, NamedSharding(mesh, P(None, axis, None, None)))
-        return fn(folded_params, images)
+        return fn(folded_params, _put_h_sharded(mesh, axis, images))
 
     return forward

@@ -6,6 +6,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from tensorflow_yolo2_tpu.config import LRScheduleConfig, OptimizerConfig
 from tensorflow_yolo2_tpu.parallel.mesh import MeshConfig, make_mesh
@@ -85,6 +86,7 @@ def test_eval_with_ema_switch(rng):
     assert acc == float(np.asarray(m_raw["accuracy"]))
 
 
+@pytest.mark.slow
 def test_profile_dir_captures_trace(tmp_root):
     """--profile-dir wraps the train loop in a jax.profiler trace
     (utils.profiling.maybe_trace); the trace artifacts must land in the

@@ -173,3 +173,20 @@ def test_spatial_detector_forward_matches_unsharded():
     got = np.asarray(spatial_detector_fn(mesh)(folded, x))
     assert got.shape == want.shape == (2, 4, 4, cfg.cell_channels)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_spatial_loss_rejects_grid_mismatch():
+    """Images that don't map to cfg's S grid (or mismatched labels) must
+    error — a silent broadcast would train on garbage."""
+    from tensorflow_yolo2_tpu.config import YoloConfig
+    from tensorflow_yolo2_tpu.parallel.spatial import spatial_yolo_loss_fn
+
+    mesh = make_mesh(MeshConfig(data=4, model=1))
+    cfg = YoloConfig(S=4, B=2, num_class=4, image_size=128)
+    loss_fn = spatial_yolo_loss_fn(mesh, cfg)
+    labels = np.zeros((1, 4, 4, 9), np.float32)
+    with pytest.raises(ValueError, match="do not map"):
+        loss_fn({}, np.zeros((1, 256, 256, 3), np.float32), labels)
+    with pytest.raises(ValueError, match="labels grid"):
+        loss_fn({}, np.zeros((1, 128, 128, 3), np.float32),
+                np.zeros((1, 8, 8, 9), np.float32))
