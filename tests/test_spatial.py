@@ -190,3 +190,41 @@ def test_spatial_loss_rejects_grid_mismatch():
     with pytest.raises(ValueError, match="labels grid"):
         loss_fn({}, np.zeros((1, 128, 128, 3), np.float32),
                 np.zeros((1, 8, 8, 9), np.float32))
+
+
+@pytest.mark.slow
+def test_spatial_finetune_descends():
+    """Optimizing the folded params through the H-sharded loss descends —
+    the spatial path trains, not merely matches."""
+    import optax
+
+    from tensorflow_yolo2_tpu.config import YoloConfig
+    from tensorflow_yolo2_tpu.models.darknet import Darknet19Detector
+    from tensorflow_yolo2_tpu.parallel.spatial import spatial_yolo_loss_fn
+
+    mesh = make_mesh(MeshConfig(data=4, model=1))
+    cfg = YoloConfig(S=4, B=2, num_class=4, image_size=128)
+    model = Darknet19Detector(output_channels=cfg.cell_channels)
+    rng = np.random.RandomState(3)
+    x = rng.normal(0, 1, (2, 128, 128, 3)).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), x[:1, :32, :32],
+                           train=False)
+    folded = fold_params(variables["params"], variables["batch_stats"])
+    labels = np.zeros((2, cfg.S, cfg.S, 5 + cfg.num_class), np.float32)
+    labels[:, 1, 2, 0] = 1.0
+    labels[:, 1, 2, 1:5] = (80, 48, 40, 30)
+    labels[:, 1, 2, 5 + 1] = 1.0
+
+    loss_fn = spatial_yolo_loss_fn(mesh, cfg)
+    tx = optax.adam(1e-4)
+    opt_state = tx.init(folded)
+    grad_fn = jax.value_and_grad(lambda p: loss_fn(p, x, labels))
+    first = last = None
+    for _ in range(8):
+        loss, grads = grad_fn(folded)
+        updates, opt_state = tx.update(grads, opt_state, folded)
+        folded = optax.apply_updates(folded, updates)
+        first = float(loss) if first is None else first
+        last = float(loss)
+    assert np.isfinite(last)
+    assert last < first * 0.97, (first, last)
