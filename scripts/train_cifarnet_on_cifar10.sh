@@ -28,11 +28,13 @@ python -m tensorflow_yolo2_tpu.entries.download_and_convert \
   --dataset-dir "$PREP_DIR"
 
 python -m tensorflow_yolo2_tpu.entries.train_classifier \
+  --preprocessing-name cifarnet \
   --model-name cifarnet --dataset-name prepared \
   --data-path "$PREP_DIR/train" \
   --iters 200 --batch-size 32 --optimizer sgd --learning-rate 0.01 \
   --weight-decay 0.004 --compute-dtype float32 --num-workers 2
 
 python -m tensorflow_yolo2_tpu.entries.eval_classifier \
+  --preprocessing-name cifarnet \
   --model-name cifarnet --dataset-name prepared \
   --data-path "$PREP_DIR/test" --max-batches 4 --compute-dtype float32

@@ -20,10 +20,12 @@ EOF
 fi
 
 python -m tensorflow_yolo2_tpu.entries.train_classifier \
+  --preprocessing-name lenet \
   --model-name lenet --dataset-name mnist --data-path "$MNIST_DIR" \
   --iters 200 --batch-size 32 --optimizer sgd --learning-rate 0.01 \
   --compute-dtype float32 --num-workers 2
 
 python -m tensorflow_yolo2_tpu.entries.eval_classifier \
+  --preprocessing-name lenet \
   --model-name lenet --dataset-name mnist --data-path "$MNIST_DIR" \
   --dataset-split-name test --max-batches 4 --compute-dtype float32

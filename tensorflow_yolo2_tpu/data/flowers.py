@@ -29,7 +29,7 @@ class TFFlowers:
     def __init__(self, batch_size: int = 16, image_size: int = 224,
                  val_split: float = 0.2, data_aug: bool = True,
                  paths: Paths | None = None, data_path: str | None = None,
-                 seed: int = 0):
+                 seed: int = 0, preprocess_name: str | None = None):
         self.name = "tf_flowers"
         self.paths = paths or Paths()
         self.data_path = data_path or self.paths.flowers
@@ -38,6 +38,22 @@ class TFFlowers:
         self.data_aug = data_aug
         self.aug_cfg = AugmentConfig(image_size=image_size)
         self.rng = random.Random(seed)
+        # slim preprocessing_name path: per-model factory preprocessing
+        # replaces the native augment/resize convention (the reference's
+        # finetune_inception_*_on_flowers.sh recipes train flowers with
+        # inception preprocessing, train_image_classifier.py:428-435)
+        self._pp_train = self._pp_eval = None
+        if preprocess_name:
+            from tensorflow_yolo2_tpu.data.preprocessing import (
+                get_preprocessing,
+            )
+
+            self._pp_train = get_preprocessing(
+                preprocess_name, is_training=True, image_size=image_size,
+                seed=seed)
+            self._pp_eval = get_preprocessing(
+                preprocess_name, is_training=False, image_size=image_size,
+                seed=seed)
         self.epoch = 1
         self.train_cursor = 0
         self.val_cursor = 0
@@ -91,7 +107,13 @@ class TFFlowers:
             (self.batch_size, self.image_size, self.image_size, 3), np.float32)
         labels = np.zeros(self.batch_size, np.int32)
         for count, (path, cls) in enumerate(picked):
-            if augment and self.data_aug:
+            if self._pp_train is not None:
+                import cv2
+
+                raw = cv2.imread(path)
+                fn = self._pp_train if augment else self._pp_eval
+                images[count] = fn(raw)
+            elif augment and self.data_aug:
                 images[count] = read_and_augment(path, self.aug_cfg, self.rng)
             else:
                 images[count] = image_read(path, self.image_size)

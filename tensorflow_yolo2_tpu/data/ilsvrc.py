@@ -56,7 +56,7 @@ class IlsvrcCls:
                  rgb: bool = False, resize_policy: str = "warp",
                  random_noise: bool = False, rebuild: bool = False,
                  paths: Paths | None = None, data_path: str | None = None,
-                 seed: int = 0):
+                 seed: int = 0, preprocess_name: str | None = None):
         assert image_set in ("train", "val")
         assert resize_policy in ("warp", "pad")
         self.name = "ilsvrc_2017_cls"
@@ -72,6 +72,17 @@ class IlsvrcCls:
         self.aug_cfg = AugmentConfig(image_size=image_size,
                                      random_noise=random_noise)
         self.rng = random.Random(seed)
+        # slim preprocessing_name path (train_image_classifier.py:428-435):
+        # a per-model factory fn replaces the native read/augment convention
+        self._preprocess = None
+        if preprocess_name:
+            from tensorflow_yolo2_tpu.data.preprocessing import (
+                get_preprocessing,
+            )
+
+            self._preprocess = get_preprocessing(
+                preprocess_name, is_training=image_set == "train" and data_aug,
+                image_size=image_size, seed=seed)
         self.cursor = 0
         self.epoch = 1
         self._lock = threading.Lock()
@@ -142,6 +153,11 @@ class IlsvrcCls:
         return max(1, len(self.gt_labels) // self.batch_size)
 
     def image_read(self, path: str) -> np.ndarray:
+        if self._preprocess is not None:
+            image = cv2.imread(path)
+            if image is None:
+                raise FileNotFoundError(path)
+            return self._preprocess(image)
         if not self.data_aug and self.resize_policy != "pad":
             # plain warp path: the fused native resize+swap+normalize
             # kernel (one pass instead of read→convert→resize→normalize)

@@ -25,6 +25,12 @@ class InMemoryImdb:
     """
 
     batch_size: int
+    # Optional per-image preprocessing override (the slim
+    # preprocessing_name path, train_image_classifier.py:428-435): a
+    # fn(uint8 HWC image) -> float32 image applied instead of the
+    # default [-1, 1] scaling. Images are passed in their stored
+    # channel order (RGB for CIFAR-10, single-channel for MNIST).
+    preprocess_fn = None
 
     def _init_order(self, seed: int) -> None:
         self._rng = np.random.RandomState(seed)
@@ -53,6 +59,8 @@ class InMemoryImdb:
     def get(self) -> tuple[np.ndarray, np.ndarray]:
         idx = self._pick()
         images = self._images[idx]
-        if images.dtype == np.uint8:
+        if self.preprocess_fn is not None:
+            images = np.stack([self.preprocess_fn(im) for im in images])
+        elif images.dtype == np.uint8:
             images = images.astype(np.float32) / 255.0 * 2.0 - 1.0
         return images, self._labels[idx]

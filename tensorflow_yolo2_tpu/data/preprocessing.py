@@ -78,19 +78,74 @@ def _darknet(image: np.ndarray, size: int, train: bool,
     return image / 255.0 * 2.0 - 1.0
 
 
-def _simple(image: np.ndarray, size: int, train: bool,
-            rng: random.Random) -> np.ndarray:
-    """lenet/cifarnet: resize + per-image standardization."""
-    image = cv2.resize(image, (size, size)).astype(np.float32)
-    if train and rng.random() < 0.5:
-        image = image[:, ::-1]
-    mean, std = image.mean(), max(image.std(), 1.0)
-    return (image - mean) / std
+def crop_or_pad(image: np.ndarray, size: int) -> np.ndarray:
+    """Center crop-or-zero-pad to size×size (tf.image
+    resize_image_with_crop_or_pad semantics: symmetric floor offsets)."""
+    h, w = image.shape[:2]
+    if h > size:
+        top = (h - size) // 2
+        image = image[top:top + size]
+    if w > size:
+        left = (w - size) // 2
+        image = image[:, left:left + size]
+    h, w = image.shape[:2]
+    if h < size or w < size:
+        pt, pl = (size - h) // 2, (size - w) // 2
+        pad = [(pt, size - h - pt), (pl, size - w - pl)]
+        pad += [(0, 0)] * (image.ndim - 2)
+        image = np.pad(image, pad)
+    return image
+
+
+def _standardize(image: np.ndarray) -> np.ndarray:
+    """tf.image.per_image_standardization: (x - mean) / adjusted_stddev,
+    adjusted_stddev = max(stddev, 1/sqrt(num_elements))."""
+    image = image.astype(np.float32)
+    std = max(float(image.std()), 1.0 / np.sqrt(image.size))
+    return (image - image.mean()) / std
+
+
+def _lenet(image: np.ndarray, size: int, train: bool,
+           rng: random.Random) -> np.ndarray:
+    """lenet: crop-or-pad + (x-128)/128, identical train/eval
+    (lenet_preprocessing.py:39-44 — no distortions, no flip)."""
+    del train, rng
+    image = crop_or_pad(image.astype(np.float32), size)
+    return (image - 128.0) / 128.0
+
+
+def _cifarnet(image: np.ndarray, size: int, train: bool,
+              rng: random.Random) -> np.ndarray:
+    """cifarnet: train = pad 4 → random crop → random flip → random
+    brightness (±63) → random contrast (0.2-1.8) → per-image
+    standardization (cifarnet_preprocessing.py:30-70); eval =
+    crop-or-pad + standardization (:73-96)."""
+    image = image.astype(np.float32)
+    if train:
+        image = np.pad(image, [(4, 4), (4, 4)] + [(0, 0)] * (image.ndim - 2))
+        h, w = image.shape[:2]
+        top = rng.randint(0, max(h - size, 0))
+        left = rng.randint(0, max(w - size, 0))
+        image = image[top:top + size, left:left + size]
+        image = crop_or_pad(image, size)  # inputs smaller than size-8
+        if rng.random() < 0.5:
+            image = image[:, ::-1]
+        image = image + rng.uniform(-63.0, 63.0)
+        # tf.image.random_contrast: per-channel (x - mean_c)*factor + mean_c
+        factor = rng.uniform(0.2, 1.8)
+        mean_c = image.mean(axis=(0, 1), keepdims=True)
+        image = (image - mean_c) * factor + mean_c
+    else:
+        image = crop_or_pad(image, size)
+    return _standardize(image)
 
 
 _FAMILIES: dict[str, Callable] = {}
 for _name in ("vgg", "vgg_a", "vgg_16", "vgg_19", "resnet_v1_50",
-              "resnet_v1_101", "resnet_v1_152", "resnet_v1_200", "resnet50"):
+              "resnet_v1_101", "resnet_v1_152", "resnet_v1_200", "resnet50",
+              # preprocessing_factory.py:59-61 maps resnet_v2 to vgg too
+              "resnet_v2_50", "resnet_v2_101", "resnet_v2_152",
+              "resnet_v2_200"):
     _FAMILIES[_name] = _vgg  # slim maps resnets to vgg preprocessing (:56-61)
 for _name in ("inception", "inception_v1", "inception_v2", "inception_v3",
               "inception_v4", "inception_resnet_v2", "alexnet_v2",
@@ -98,8 +153,8 @@ for _name in ("inception", "inception_v1", "inception_v2", "inception_v3",
     _FAMILIES[_name] = _inception
 for _name in ("darknet19", "darknet19_detection", "yolo1"):
     _FAMILIES[_name] = _darknet
-for _name in ("lenet", "cifarnet"):
-    _FAMILIES[_name] = _simple
+_FAMILIES["lenet"] = _lenet
+_FAMILIES["cifarnet"] = _cifarnet
 
 
 def get_preprocessing(name: str, is_training: bool = False,

@@ -34,9 +34,28 @@ class SyntheticClassification(InMemoryImdb):
         self._init_order(seed)
 
 
+def _with_preprocess(imdb, preprocessing_name, split):
+    """Attach a factory preprocessing fn to an in-memory uint8 imdb."""
+    if preprocessing_name:
+        from tensorflow_yolo2_tpu.data.preprocessing import get_preprocessing
+
+        imdb.preprocess_fn = get_preprocessing(
+            preprocessing_name, is_training=split == "train",
+            image_size=imdb.image_size)
+    return imdb
+
+
 def get_dataset(name: str, split: str = "train", **kwargs: Any):
-    """Build an imdb by name (reference dataset_factory.get_dataset)."""
+    """Build an imdb by name (reference dataset_factory.get_dataset).
+
+    ``preprocessing_name`` selects a factory preprocessing
+    (data.preprocessing.get_preprocessing — slim's --preprocessing_name,
+    train_image_classifier.py:85-88,428-435) instead of each dataset's
+    native convention; supported by the raw-image datasets (flowers,
+    imagenet) and the uint8 in-memory datasets (mnist, cifar10, prepared).
+    """
     name = name.lower()
+    pp_name = kwargs.get("preprocessing_name")
     if name == "flowers":
         from tensorflow_yolo2_tpu.data.flowers import TFFlowers
 
@@ -44,7 +63,8 @@ def get_dataset(name: str, split: str = "train", **kwargs: Any):
                          image_size=kwargs.get("image_size", 224),
                          val_split=kwargs.get("val_split", 0.2),
                          data_path=kwargs.get("data_path"),
-                         seed=kwargs.get("seed", 0))
+                         seed=kwargs.get("seed", 0),
+                         preprocess_name=pp_name)
     if name in ("imagenet", "ilsvrc", "ilsvrc_2017_cls"):
         from tensorflow_yolo2_tpu.data.ilsvrc import IlsvrcCls
 
@@ -52,7 +72,14 @@ def get_dataset(name: str, split: str = "train", **kwargs: Any):
             split = "val"
         return IlsvrcCls(split, batch_size=kwargs.get("batch_size", 48),
                          data_path=kwargs.get("data_path"),
-                         data_aug=split == "train")
+                         data_aug=split == "train",
+                         preprocess_name=pp_name)
+    if name in ("voc", "pascal", "voc_2007", "synthetic") and pp_name:
+        # synthetic stores preprocessed float arrays and voc owns the
+        # detection label convention — a silently ignored flag would be
+        # worse than an error
+        raise ValueError(f"preprocessing_name={pp_name!r} is not supported "
+                         f"by dataset {name!r}")
     if name in ("voc", "pascal", "voc_2007"):
         from tensorflow_yolo2_tpu.data.voc import PascalVOC
 
@@ -62,23 +89,28 @@ def get_dataset(name: str, split: str = "train", **kwargs: Any):
     if name == "mnist":
         from tensorflow_yolo2_tpu.data.mnist import MNIST
 
-        return MNIST(split, batch_size=kwargs.get("batch_size", 32),
-                     data_path=kwargs.get("data_path"),
-                     seed=kwargs.get("seed", 0))
+        return _with_preprocess(
+            MNIST(split, batch_size=kwargs.get("batch_size", 32),
+                  data_path=kwargs.get("data_path"),
+                  seed=kwargs.get("seed", 0)), pp_name, split)
     if name in ("cifar10", "cifar-10"):
         from tensorflow_yolo2_tpu.data.cifar10 import Cifar10
 
-        return Cifar10(split, batch_size=kwargs.get("batch_size", 32),
-                       data_path=kwargs.get("data_path"),
-                       seed=kwargs.get("seed", 0))
+        return _with_preprocess(
+            Cifar10(split, batch_size=kwargs.get("batch_size", 32),
+                    data_path=kwargs.get("data_path"),
+                    seed=kwargs.get("seed", 0)), pp_name, split)
     if name == "prepared":
         from tensorflow_yolo2_tpu.data.prepared import PreparedDataset
 
         if not kwargs.get("data_path"):
             raise ValueError("prepared dataset needs data_path=<shard dir>")
-        return PreparedDataset(kwargs["data_path"],
-                               batch_size=kwargs.get("batch_size", 32),
-                               seed=kwargs.get("seed", 0))
+        # prepared shards store uint8 images (the TFRecord analog), so
+        # factory preprocessing applies exactly as in slim's pipeline
+        return _with_preprocess(
+            PreparedDataset(kwargs["data_path"],
+                            batch_size=kwargs.get("batch_size", 32),
+                            seed=kwargs.get("seed", 0)), pp_name, split)
     if name == "synthetic":
         return SyntheticClassification(split, **kwargs)
     raise ValueError(f"Name of dataset unknown {name!r}")

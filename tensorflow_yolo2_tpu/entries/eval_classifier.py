@@ -26,6 +26,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--max-batches", type=int, default=None)
     p.add_argument("--image-size", type=int, default=None,
                    help="input resolution for datasets that resize")
+    p.add_argument("--preprocessing-name", default=None,
+                   help="factory preprocessing instead of the dataset's "
+                        "native convention (slim's preprocessing_name)")
     p.add_argument("--use-ema", action="store_true",
                    help="evaluate the EMA weights from the snapshot "
                         "(reference eval_image_classifier's "
@@ -40,7 +43,7 @@ def main(argv: list[str] | None = None) -> int:
     size_kw = {"image_size": args.image_size} if args.image_size else {}
     imdb = get_dataset(args.dataset_name, args.dataset_split_name,
                        batch_size=batch_size, data_path=args.data_path,
-                       **size_kw)
+                       preprocessing_name=args.preprocessing_name, **size_kw)
     model = get_network(args.model_name, num_classes=imdb.num_class,
                         dtype=dtype)
     # --use-ema: give the restore target an ema_params slot so the EMA

@@ -72,6 +72,11 @@ def add_slim_flags(p) -> None:
     p.add_argument("--image-size", type=int, default=None,
                    help="input resolution for datasets that resize "
                         "(slim's train_image_size flag)")
+    p.add_argument("--preprocessing-name", default=None,
+                   help="factory preprocessing to use instead of the "
+                        "dataset's native convention (slim's "
+                        "preprocessing_name flag: cifarnet/lenet/vgg/"
+                        "inception/... — data.preprocessing)")
     p.add_argument("--aux-loss", action="store_true",
                    help="train with the model's auxiliary classifier "
                         "head(s) at 0.4 loss weight (inception v1/v3/v4; "
@@ -98,7 +103,8 @@ def main(argv: list[str] | None = None) -> int:
     size_kw = {"image_size": args.image_size} if args.image_size else {}
     imdb = get_dataset(args.dataset_name, args.dataset_split_name,
                        batch_size=batch_size, data_path=args.data_path,
-                       seed=args.seed, **size_kw)
+                       seed=args.seed,
+                       preprocessing_name=args.preprocessing_name, **size_kw)
     net_kw = {"aux_logits": True} if args.aux_loss else {}
     try:
         model = get_network(args.model_name, num_classes=imdb.num_class,

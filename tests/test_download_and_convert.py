@@ -83,11 +83,13 @@ def test_cifarnet_trains_from_converted_shards(tmp_path, tmp_root):
         "--dataset-dir", str(prep)]) == 0
     assert train_classifier.main([
         "--model-name", "cifarnet", "--dataset-name", "prepared",
+        "--preprocessing-name", "cifarnet",
         "--data-path", str(prep / "train"), "--iters", "3",
         "--batch-size", "8", "--optimizer", "sgd",
         "--compute-dtype", "float32", "--num-workers", "1",
         "--save-every", "3", "--log-every", "1"]) == 0
     assert eval_classifier.main([
         "--model-name", "cifarnet", "--dataset-name", "prepared",
+        "--preprocessing-name", "cifarnet",
         "--data-path", str(prep / "test"), "--max-batches", "2",
         "--batch-size", "4", "--compute-dtype", "float32"]) == 0

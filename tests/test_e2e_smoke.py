@@ -185,7 +185,7 @@ def test_train_then_eval_classifier_mnist(tmp_root):
                                      n_train=32, n_test=16)
     rc = train_classifier.main([
         "--model-name", "lenet", "--dataset-name", "mnist",
-        "--data-path", mnist_dir,
+        "--data-path", mnist_dir, "--preprocessing-name", "lenet",
         "--iters", "3", "--batch-size", "8", "--num-workers", "1",
         "--optimizer", "sgd", "--learning-rate", "0.01",
         "--compute-dtype", "float32", "--save-every", "3"])
@@ -195,6 +195,7 @@ def test_train_then_eval_classifier_mnist(tmp_root):
     rc = eval_classifier.main([
         "--model-name", "lenet", "--dataset-name", "mnist",
         "--data-path", mnist_dir, "--dataset-split-name", "test",
+        "--preprocessing-name", "lenet",
         "--batch-size", "8", "--max-batches", "2",
         "--compute-dtype", "float32"])
     assert rc == 0

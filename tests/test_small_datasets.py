@@ -105,3 +105,43 @@ def test_factory_registration(tmp_path):
     assert c.get()[0].shape == (4, 32, 32, 3)
     with pytest.raises(ValueError):
         get_dataset("prepared")  # needs data_path
+
+
+def test_factory_preprocessing_name(tmp_path):
+    # slim's --preprocessing_name routed through the dataset factory
+    # (train_image_classifier.py:85-88,428-435)
+    mroot = synthetic.make_mnist(str(tmp_path / "mnist"))
+    croot = synthetic.make_cifar10(str(tmp_path / "cifar"))
+    m = get_dataset("mnist", "train", data_path=mroot, batch_size=4,
+                    preprocessing_name="lenet")
+    images, _ = m.get()
+    assert images.shape == (4, 28, 28, 1)
+    # lenet preprocessing is (x-128)/128, NOT the default x/255*2-1
+    # scaling: un-mapping must recover exact uint8 levels
+    recon = images * 128.0 + 128.0
+    np.testing.assert_allclose(recon, np.round(recon), atol=1e-5)
+    assert recon.min() >= 0 and recon.max() <= 255
+    c = get_dataset("cifar10", "test", data_path=croot, batch_size=4,
+                    preprocessing_name="cifarnet")
+    cimages, _ = c.get()
+    # per-image standardization: each image ~zero-mean/unit-std
+    assert cimages.shape == (4, 32, 32, 3)
+    assert np.abs(cimages.mean(axis=(1, 2, 3))).max() < 1e-3
+    np.testing.assert_allclose(cimages.std(axis=(1, 2, 3)), 1.0, atol=1e-2)
+    with pytest.raises(ValueError, match="not supported"):
+        get_dataset("synthetic", preprocessing_name="cifarnet")
+
+
+def test_flowers_preprocess_name(tmp_path):
+    from tensorflow_yolo2_tpu.data.flowers import TFFlowers
+
+    root = synthetic.make_flowers(str(tmp_path / "fl"),
+                                  classes=("a", "b"), per_class=4)
+    imdb = TFFlowers(batch_size=2, image_size=64, val_split=0.25,
+                     data_path=root, preprocess_name="inception_v1")
+    train_imgs, _ = imdb.get_train()
+    val_imgs, _ = imdb.get_val()
+    # inception preprocessing lands in [-1, 1]
+    for imgs in (train_imgs, val_imgs):
+        assert imgs.shape == (2, 64, 64, 3)
+        assert imgs.min() >= -1.0 and imgs.max() <= 1.0
