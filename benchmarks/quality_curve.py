@@ -46,6 +46,16 @@ def main() -> None:
                          "the YOLOv1 square-root regression (note: the "
                          "label grid still supervises one object per "
                          "cell in both modes, data/voc.build_label_grid)")
+    ap.add_argument("--multiscale", default=None,
+                    help="comma-separated input sizes for YOLO9000 "
+                         "multiscale training (requires --v2; passed "
+                         "through to pascal_train_darknet --multiscale)")
+    ap.add_argument("--eval-sizes", default=None,
+                    help="comma-separated input sizes to ALSO evaluate "
+                         "val mAP at after the final stage (the "
+                         "train-once/serve-at-any-resolution claim of "
+                         "multiscale training — the fully-convolutional "
+                         "detector re-grids at S=size/32)")
     ap.add_argument("--pretrain-iters", type=int, default=0,
                     help="first pretrain the darknet19 classifier for N "
                          "iterations on a synthetic CLS-LOC tree of the "
@@ -113,7 +123,9 @@ def main() -> None:
              "--num-workers", "2", "--save-every", str(iters),
              "--log-every", "50",
              "--bn-momentum", str(args.bn_momentum)]
-            + (["--v2"] if args.v2 else []))
+            + (["--v2"] if args.v2 else [])
+            + (["--multiscale", args.multiscale] if args.multiscale
+               else []))
         assert rc == 0
         done = stage
 
@@ -138,6 +150,33 @@ def main() -> None:
     for r in rows:
         print(f"| {r['iters']} | {r['map_train']:.3f} | "
               f"{r['map_val']:.3f} |")
+
+    if args.eval_sizes:
+        # the fully-convolutional detector re-grids at S=size/32 with the
+        # SAME weights (anchors are stored in cell units and rescale as
+        # image fractions, YoloConfig.at_scale) — multiscale-trained
+        # snapshots should hold val mAP across serving resolutions
+        sizes = sorted({int(s) for s in args.eval_sizes.split(",")})
+        assert all(s % 32 == 0 for s in sizes), "eval sizes must be k*32"
+        multi = []
+        for size in sizes:
+            syolo = yolo.at_scale(size // 32)
+            if args.v2:
+                params, stats = load_detector_params(
+                    syolo, network_name="darknet19_v2")
+            else:
+                params, stats = load_detector_params(syolo)
+            detect = make_detect_fn(syolo, params, stats, 0.005,
+                                    use_nms=True, v2=args.v2)
+            imdb = PascalVOC("test", batch_size=8, yolo=syolo)
+            mAP, _ = run_eval(detect, imdb, syolo,
+                              max_images=args.eval_max_images)
+            multi.append({"size": size, "map_val": round(float(mAP), 4)})
+            print("EVAL_SIZE " + json.dumps(multi[-1]))
+        print("\n| serve size | val mAP@0.5 |")
+        print("|---|---|")
+        for m in multi:
+            print(f"| {m['size']} | {m['map_val']:.3f} |")
 
 
 if __name__ == "__main__":
