@@ -7,8 +7,16 @@ decode+NMS serving kernel — the same chain pascal_detect_darknet --nms
 serves. The old host-NMS tail is gone: suppression happens on-chip and
 the host fetch is the K kept slots.
 
+The host IO leg runs twice: once through the standard decode (cv2 full
+decode + native fused resize) and once through the fused native JPEG
+path (TFY2_FAST_JPEG — DCT-domain scaled decode straight into the
+resize+normalize pass), so the report shows what the fast path buys on
+this image mix. Camera/ILSVRC-sized sources (≥2× the 448² target)
+decode at 1/2..1/8 scale there.
+
 Usage: python benchmarks/serving_pipeline.py [image_dir] [batch] [steps]
-With no image_dir, synthesizes a directory of JPEGs first.
+With no image_dir, synthesizes a directory of 1280×960 JPEGs first
+(natural-image statistics: smooth base + texture, not raw noise).
 """
 
 import os
@@ -37,9 +45,20 @@ def make_images(path: str, n: int = 64) -> str:
     import cv2
     os.makedirs(path, exist_ok=True)
     rng = np.random.RandomState(0)
+    h, w = 960, 1280
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
     for i in range(n):
-        img = rng.randint(0, 256, (480, 640, 3), np.uint8)
-        cv2.imwrite(os.path.join(path, f"img{i:03d}.jpg"), img)
+        # smooth low-frequency base + mild texture ≈ natural-image
+        # statistics (raw noise neither compresses nor decodes like a
+        # photo and would overstate decode cost)
+        base = np.stack([
+            128 + 90 * np.sin(xx / w * (3 + c) + i) *
+            np.cos(yy / h * (2 + c) - i)
+            for c in range(3)], axis=-1)
+        img = np.clip(base + rng.uniform(-12, 12, (h, w, 3)), 0,
+                      255).astype(np.uint8)
+        cv2.imwrite(os.path.join(path, f"img{i:03d}.jpg"), img,
+                    [cv2.IMWRITE_JPEG_QUALITY, 90])
     return path
 
 
@@ -70,40 +89,52 @@ def main() -> int:
         # production serving path: the fused decode+NMS kernel
         return decode_nms_pallas(grid, yolo, 0.3, 0.5, max_outputs=32)
 
-    cursor = [0]
+    def run_pipeline(fast_jpeg: bool) -> tuple[float, int]:
+        cursor = [0]
 
-    def read_batch():
-        out = np.empty((batch, SIZE, SIZE, 3), np.float32)
-        for j in range(batch):
-            out[j] = image_read(files[cursor[0] % len(files)], SIZE)
-            cursor[0] += 1
-        return out
+        def read_batch():
+            out = np.empty((batch, SIZE, SIZE, 3), np.float32)
+            for j in range(batch):
+                out[j] = image_read(files[cursor[0] % len(files)], SIZE,
+                                    fast_jpeg=fast_jpeg)
+                cursor[0] += 1
+            return out
 
-    n_det = 0
-    with PrefetchLoader(read_batch, num_workers=2,
-                        prefetch_size=4) as loader:
-        stream = device_prefetch(iter(loader), size=2)
-        # warm (compile) outside the timed window
-        dets = forward(folded, next(stream))
-        np.asarray(dets.scores)
-        t0 = time.perf_counter()
-        pending = []
-        for _ in range(steps):
-            pending.append(forward(folded, next(stream)))
-        for dets in pending:
-            # a real consumer fetches all K kept slots — boxes and
-            # classes too, inside the timed window
-            boxes = np.asarray(dets.boxes)
-            classes = np.asarray(dets.classes)
-            scores = np.asarray(dets.scores)
-            # NMS already ran inside the fused kernel; survivors are the
-            # score>0 slots
-            n_det += int((scores > 0).sum())
-        dt = time.perf_counter() - t0
-    ips = steps * batch / dt
-    print(f"serving pipeline (native_io={native.available()}): "
-          f"{ips:.0f} images/sec end-to-end "
+        n_det = 0
+        with PrefetchLoader(read_batch, num_workers=2,
+                            prefetch_size=4) as loader:
+            stream = device_prefetch(iter(loader), size=2)
+            # warm (compile) outside the timed window
+            dets = forward(folded, next(stream))
+            np.asarray(dets.scores)
+            t0 = time.perf_counter()
+            pending = []
+            for _ in range(steps):
+                pending.append(forward(folded, next(stream)))
+            for dets in pending:
+                # a real consumer fetches all K kept slots — boxes and
+                # classes too, inside the timed window
+                boxes = np.asarray(dets.boxes)
+                classes = np.asarray(dets.classes)
+                scores = np.asarray(dets.scores)
+                # NMS already ran inside the fused kernel; survivors are
+                # the score>0 slots
+                n_det += int((scores > 0).sum())
+            dt = time.perf_counter() - t0
+        return steps * batch / dt, n_det
+
+    ips_std, n_det = run_pipeline(fast_jpeg=False)
+    print(f"serving pipeline (native_io={native.available()}, std decode): "
+          f"{ips_std:.0f} images/sec end-to-end "
           f"(batch {batch}, {steps} steps, {n_det} detections kept)")
+    if native.jpeg_available():
+        ips_fast, n_det = run_pipeline(fast_jpeg=True)
+        print(f"serving pipeline (fused native JPEG, DCT-scaled decode): "
+              f"{ips_fast:.0f} images/sec end-to-end "
+              f"({ips_fast / ips_std:.2f}x the std decode)")
+    else:
+        print("native JPEG path unavailable (library built without "
+              "libjpeg) — fast-decode leg skipped")
     return 0
 
 

@@ -26,12 +26,26 @@
 //   tfy2_nms               — greedy class-aware NMS on host for serving
 //       post-process (north-star addition; reference has none,
 //       net_utils.py:398 is a bare threshold).
+//   tfy2_jpeg_resize_normalize — (built when libjpeg is present,
+//       TFY2_WITH_JPEG) fused JPEG decode → resize → normalize with
+//       optional DCT-domain scaled decode: the decoder emits the image at
+//       the smallest M/8 scale still >= the target, so a 2000px source
+//       headed for 448² does ~1/16 the IDCT + colorconvert work before
+//       the exact bilinear pass. The reference decodes every image at
+//       full resolution through cv2 and resizes after
+//       (pascal_voc.py:60-67, ilsvrc2017_cls_multithread.py:320-340).
 
 #include <algorithm>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <vector>
+
+#ifdef TFY2_WITH_JPEG
+#include <csetjmp>
+#include <cstdio>
+#include <jpeglib.h>
+#endif
 
 // ---------------------------------------------------------------------------
 // Fused resize + normalize
@@ -189,6 +203,107 @@ extern "C" void tfy2_resize_normalize(const uint8_t* src, int sh, int sw,
 extern "C" void tfy2_normalize(const uint8_t* src, float* dst, int64_t n) {
     for (int64_t i = 0; i < n; ++i) dst[i] = kNorm.t[src[i]];
 }
+
+// ---------------------------------------------------------------------------
+// Fused JPEG decode + resize + normalize (libjpeg-turbo host fast path)
+// ---------------------------------------------------------------------------
+
+#ifdef TFY2_WITH_JPEG
+
+namespace {
+struct JpegErrorJmp {
+    jpeg_error_mgr mgr;
+    jmp_buf env;
+};
+
+void jpeg_error_longjmp(j_common_ptr cinfo) {
+    JpegErrorJmp* err = reinterpret_cast<JpegErrorJmp*>(cinfo->err);
+    longjmp(err->env, 1);
+}
+
+void jpeg_emit_nothing(j_common_ptr, int) {}
+}  // namespace
+
+extern "C" int tfy2_has_jpeg() { return 1; }
+
+// Decode a JPEG byte buffer straight to float32 (dh, dw, 3) in [-1, 1].
+//
+// swap_rb == 0 emits BGR (the cv2.imread convention the pipeline is built
+// on), 1 emits RGB — the decoder is asked for the layout directly
+// (JCS_EXT_BGR / JCS_RGB), so no post-swap pass exists. With
+// fast_scale != 0 the decode runs at the smallest M/8 DCT scale whose
+// output still covers (dh, dw); the exact cv2-arithmetic bilinear pass
+// then lands the final size. fast_scale == 0 decodes at full resolution —
+// byte-identical input to the cv2 path for baseline JPEGs.
+//
+// Returns 0 on success, 1 on any decode error (caller falls back to cv2).
+extern "C" int tfy2_jpeg_resize_normalize(const uint8_t* data, int64_t n,
+                                          float* dst, int dh, int dw,
+                                          int swap_rb, int hflip,
+                                          int fast_scale) {
+    jpeg_decompress_struct cinfo;
+    JpegErrorJmp jerr;
+    cinfo.err = jpeg_std_error(&jerr.mgr);
+    jerr.mgr.error_exit = jpeg_error_longjmp;
+    jerr.mgr.emit_message = jpeg_emit_nothing;
+    std::vector<uint8_t> pixels;  // outlives setjmp scope
+    if (setjmp(jerr.env)) {
+        jpeg_destroy_decompress(&cinfo);
+        return 1;
+    }
+    jpeg_create_decompress(&cinfo);
+    jpeg_mem_src(&cinfo, const_cast<uint8_t*>(data), (unsigned long)n);
+    if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+        jpeg_destroy_decompress(&cinfo);
+        return 1;
+    }
+    // Decode directly in the requested channel order.
+    cinfo.out_color_space = swap_rb ? JCS_RGB : JCS_EXT_BGR;
+    if (fast_scale) {
+        // smallest M/8 scale (M = 1..8) whose output covers the target in
+        // BOTH dims; never upscale-decode (M capped at 8 = full size)
+        unsigned m = 8;
+        for (unsigned cand = 1; cand < 8; ++cand) {
+            unsigned sw = (cinfo.image_width * cand + 7) / 8;
+            unsigned sh = (cinfo.image_height * cand + 7) / 8;
+            if (sw >= (unsigned)dw && sh >= (unsigned)dh) { m = cand; break; }
+        }
+        cinfo.scale_num = m;
+        cinfo.scale_denom = 8;
+    }
+    jpeg_start_decompress(&cinfo);
+    if (cinfo.output_components != 3) {  // CMYK etc.: let cv2 handle it
+        jpeg_abort_decompress(&cinfo);
+        jpeg_destroy_decompress(&cinfo);
+        return 1;
+    }
+    const int sw = (int)cinfo.output_width, sh = (int)cinfo.output_height;
+    pixels.resize((size_t)sh * sw * 3);
+    while (cinfo.output_scanline < cinfo.output_height) {
+        JSAMPROW row = pixels.data() + (size_t)cinfo.output_scanline * sw * 3;
+        jpeg_read_scanlines(&cinfo, &row, 1);
+    }
+    jpeg_finish_decompress(&cinfo);
+    jpeg_destroy_decompress(&cinfo);
+    // channel order is already final — resize never swaps here
+    if (hflip)
+        resize_normalize_impl<false, true>(pixels.data(), sh, sw, dst, dh, dw);
+    else
+        resize_normalize_impl<false, false>(pixels.data(), sh, sw, dst, dh,
+                                            dw);
+    return 0;
+}
+
+#else  // !TFY2_WITH_JPEG
+
+extern "C" int tfy2_has_jpeg() { return 0; }
+
+extern "C" int tfy2_jpeg_resize_normalize(const uint8_t*, int64_t, float*,
+                                          int, int, int, int, int) {
+    return 1;
+}
+
+#endif  // TFY2_WITH_JPEG
 
 // ---------------------------------------------------------------------------
 // VOC label grid (reference pascal_voc.py:125-165)

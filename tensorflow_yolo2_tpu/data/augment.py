@@ -18,6 +18,7 @@ RGB flag) and scaled to [-1, 1] as ``(x/255)*2 - 1``.
 
 from __future__ import annotations
 
+import os as _os
 import random
 from dataclasses import dataclass
 
@@ -47,14 +48,35 @@ def normalize(image: np.ndarray) -> np.ndarray:
 
 
 def image_read(path: str, image_size: int, rgb: bool = False,
-               flipped: bool = False) -> np.ndarray:
+               flipped: bool = False,
+               fast_jpeg: bool | None = None) -> np.ndarray:
     """Plain read+warp-resize+normalize (reference pascal_voc.py:60-67).
 
     The resize+swap+flip+normalize chain runs as ONE pass in the native
     C++ kernel when available (utils/native.py; replicates cv2's scalar
     INTER_LINEAR arithmetic, within one uint8 level of IPP-backed cv2 —
     parity-tested), else falls back to cv2+numpy.
+
+    ``fast_jpeg`` (default: env ``TFY2_FAST_JPEG=1``) additionally fuses
+    the JPEG *decode* into the native pass with DCT-domain scaled decode —
+    sources much larger than ``image_size`` decode at 1/2..1/8 scale
+    before the exact bilinear resize. Opt-in because scaled decode is not
+    pixel-identical to cv2's full decode (and EXIF rotation is ignored);
+    detection/classification quality is unaffected.
     """
+    if fast_jpeg is None:
+        fast_jpeg = _os.environ.get("TFY2_FAST_JPEG", "0") == "1"
+    if fast_jpeg and path.lower().endswith((".jpg", ".jpeg")):
+        try:
+            with open(path, "rb") as f:
+                data = f.read()
+        except OSError:
+            raise FileNotFoundError(path)
+        fused = native.jpeg_resize_normalize(
+            data, image_size, image_size, swap_rb=rgb, hflip=flipped,
+            fast_scale=True)
+        if fused is not None:
+            return fused
     image = cv2.imread(path)
     if image is None:
         raise FileNotFoundError(path)

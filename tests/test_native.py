@@ -239,3 +239,94 @@ def test_nms_agrees_with_device_nms():
     want_scores = sorted(float(s) for s in dev_scores if s > 0)
     assert len(got_scores) == len(want_scores)
     np.testing.assert_allclose(got_scores, want_scores, rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Fused JPEG decode + resize + normalize (TFY2_WITH_JPEG build)
+# ---------------------------------------------------------------------------
+
+jpeg_mark = pytest.mark.skipif(
+    not native.jpeg_available(),
+    reason="native library built without libjpeg")
+
+
+def _smooth_image(h, w, seed=0):
+    """Low-frequency content so JPEG round-trips with small error."""
+    rng = np.random.RandomState(seed)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    base = np.stack([
+        128 + 100 * np.sin(xx / w * 4 + c) * np.cos(yy / h * 3 - c)
+        for c in range(3)], axis=-1)
+    return np.clip(base + rng.uniform(-4, 4, (h, w, 3)), 0, 255).astype(
+        np.uint8)
+
+
+@jpeg_mark
+def test_jpeg_fullscale_matches_cv2_path(tmp_path):
+    # fast_scale=False: the decoder sees the same bytes as cv2.imread
+    # (both are libjpeg-turbo at default settings), then the exact
+    # bilinear arithmetic — within one intensity level end-to-end
+    img = _smooth_image(60, 80, seed=7)
+    path = str(tmp_path / "img.jpg")
+    assert cv2.imwrite(path, img)
+    data = open(path, "rb").read()
+    for rgb in (False, True):
+        for flip in (False, True):
+            got = native.jpeg_resize_normalize(
+                data, 32, 32, swap_rb=rgb, hflip=flip, fast_scale=False)
+            assert got is not None and got.shape == (32, 32, 3)
+            want = _cv2_path(cv2.imread(path), 32, rgb=rgb, flip=flip)
+            np.testing.assert_allclose(got, want, atol=LEVEL)
+
+
+@jpeg_mark
+def test_jpeg_fast_scale_close_to_cv2_path(tmp_path):
+    # DCT-scaled decode (here 1/8-ish on a 1024->64 shrink) is not
+    # pixel-identical to full decode + bilinear, but must stay visually
+    # equivalent on smooth content
+    img = _smooth_image(768, 1024, seed=8)
+    path = str(tmp_path / "big.jpg")
+    assert cv2.imwrite(path, img, [cv2.IMWRITE_JPEG_QUALITY, 95])
+    data = open(path, "rb").read()
+    got = native.jpeg_resize_normalize(data, 64, 64, fast_scale=True)
+    assert got is not None
+    want = _cv2_path(cv2.imread(path), 64)
+    assert np.mean(np.abs(got - want)) < 0.02       # ~2.5 uint8 levels mean
+    assert np.max(np.abs(got - want)) < 0.12        # ~15 levels worst pixel
+
+
+@jpeg_mark
+def test_jpeg_small_source_never_upscale_decodes(tmp_path):
+    # target larger than the source: fast_scale must decode full-res
+    # (scale capped at 8/8) and the result matches the cv2 upscale path
+    img = _smooth_image(40, 52, seed=9)
+    path = str(tmp_path / "small.jpg")
+    assert cv2.imwrite(path, img)
+    data = open(path, "rb").read()
+    got = native.jpeg_resize_normalize(data, 96, 96, fast_scale=True)
+    assert got is not None
+    want = _cv2_path(cv2.imread(path), 96)
+    np.testing.assert_allclose(got, want, atol=LEVEL)
+
+
+@jpeg_mark
+def test_jpeg_garbage_returns_none():
+    assert native.jpeg_resize_normalize(b"not a jpeg", 32, 32) is None
+
+
+@jpeg_mark
+def test_image_read_fast_jpeg_path(tmp_path):
+    from tensorflow_yolo2_tpu.data.augment import image_read
+    img = _smooth_image(300, 400, seed=10)
+    path = str(tmp_path / "img.jpg")
+    assert cv2.imwrite(path, img)
+    got = image_read(path, 224, fast_jpeg=True)
+    want = image_read(path, 224, fast_jpeg=False)
+    assert got.shape == want.shape == (224, 224, 3)
+    assert np.mean(np.abs(got - want)) < 0.02
+    # non-JPEG input silently uses the standard path
+    png = str(tmp_path / "img.png")
+    assert cv2.imwrite(png, img)
+    got_png = image_read(png, 224, fast_jpeg=True)
+    want_png = image_read(png, 224, fast_jpeg=False)
+    np.testing.assert_allclose(got_png, want_png, atol=LEVEL)
