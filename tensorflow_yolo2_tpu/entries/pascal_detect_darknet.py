@@ -25,7 +25,10 @@ import numpy as np
 
 from tensorflow_yolo2_tpu.config import VOC_CLASSES, Paths, YoloConfig
 from tensorflow_yolo2_tpu.data.augment import image_read
-from tensorflow_yolo2_tpu.models.darknet import Darknet19Detector
+from tensorflow_yolo2_tpu.models.darknet import (
+    Darknet19Detector,
+    Darknet19DetectorV2,
+)
 from tensorflow_yolo2_tpu.models.fold import fold_params
 from tensorflow_yolo2_tpu.ops.boxes import Detections
 from tensorflow_yolo2_tpu.ops.pallas_decode import (
@@ -70,11 +73,15 @@ def make_detect_fn(yolo: YoloConfig, params, batch_stats,
                    object_thresh: float = 0.5, use_nms: bool = False,
                    nms_iou: float = 0.5, fold_bn: bool = True,
                    dtype=jnp.bfloat16, v2: bool = False,
-                   int8: bool = False, calib_images=None):
+                   int8: bool = False, calib_images=None,
+                   passthrough: bool = False):
     """Build the jitted image→detections function (batched).
 
     ``v2`` selects the anchor head layout + decode (sigmoid-xy/exp-wh,
-    per-slot class softmax) matching pascal_train_darknet --v2.
+    per-slot class softmax) matching pascal_train_darknet --v2;
+    ``passthrough`` additionally selects the full YOLOv2 architecture
+    (reorg-route head, models.darknet.Darknet19DetectorV2) matching
+    pascal_train_darknet --v2 --passthrough.
 
     ``int8`` serves the post-training-quantized chain (ops.quant):
     BN-folded weights per-channel int8, activations per-tensor int8
@@ -88,6 +95,13 @@ def make_detect_fn(yolo: YoloConfig, params, batch_stats,
             "per-slot config (config.yolo_v2_config), the v1 head a "
             "plain YoloConfig — a mismatch would silently decode with "
             "the wrong kernel")
+    if passthrough and not v2:
+        raise ValueError("passthrough is the YOLOv2 reorg head — it "
+                         "requires v2=True (the anchor layout)")
+    if passthrough and int8:
+        raise ValueError("int8 serving covers the sequential conv chains "
+                         "(ops.quant); the passthrough head's concat "
+                         "route is not quantized yet")
     if int8:
         if calib_images is None:
             raise ValueError("int8 serving needs calib_images (a "
@@ -101,17 +115,23 @@ def make_detect_fn(yolo: YoloConfig, params, batch_stats,
                                     object_thresh, use_nms, nms_iou, v2,
                                     calib_images)
     bn_on_output = not v2
+
+    def build_model(folded: bool):
+        if passthrough:
+            return Darknet19DetectorV2(output_channels=yolo.cell_channels,
+                                       fold_bn=folded, dtype=dtype)
+        return Darknet19Detector(output_channels=yolo.cell_channels,
+                                 bn_on_output=bn_on_output,
+                                 fold_bn=folded, dtype=dtype)
+
     if fold_bn and batch_stats:
         variables = {"params": fold_params(params, batch_stats)}
-        model = Darknet19Detector(output_channels=yolo.cell_channels,
-                                  bn_on_output=bn_on_output,
-                                  fold_bn=True, dtype=dtype)
+        model = build_model(True)
     else:
         variables = {"params": params}
         if batch_stats:
             variables["batch_stats"] = batch_stats
-        model = Darknet19Detector(output_channels=yolo.cell_channels,
-                                  bn_on_output=bn_on_output, dtype=dtype)
+        model = build_model(False)
 
     # params must be jit ARGUMENTS, not closure constants: closed-over
     # arrays are baked into the HLO as literals, which bloats the program
@@ -213,6 +233,9 @@ def main(argv: list[str] | None = None) -> int:
                         "snapshot, no calibration pass")
     p.add_argument("--v2", action="store_true",
                    help="anchor-head checkpoint (pascal_train_darknet --v2)")
+    p.add_argument("--passthrough", action="store_true",
+                   help="full YOLOv2 architecture: reorg/passthrough head "
+                        "(pascal_train_darknet --v2 --passthrough)")
     p.add_argument("--image-size", type=int, default=224,
                    help="multiscale input (multiple of 32); the net is "
                         "fully convolutional, the grid scales to S=size/32 "
@@ -236,12 +259,18 @@ def main(argv: list[str] | None = None) -> int:
     if args.no_fold_bn and (args.int8 or args.int8_weights):
         p.error("int8 serving quantizes the BN-folded chain; "
                 "drop --no-fold-bn")
+    if args.passthrough and not args.v2:
+        p.error("--passthrough is the YOLOv2 reorg head; it requires --v2")
+    if args.passthrough and (args.int8 or args.int8_weights):
+        p.error("int8 serving does not cover the passthrough head's "
+                "concat route yet")
     if args.v2:
         from tensorflow_yolo2_tpu.config import yolo_v2_config
         yolo = yolo_v2_config(args.image_size)
+        net_name = "darknet19_v2p" if args.passthrough else "darknet19_v2"
         params, stats = (None, None) if args.int8_weights else \
             load_detector_params(
-                yolo, args.tf_checkpoint, network_name="darknet19_v2")
+                yolo, args.tf_checkpoint, network_name=net_name)
     else:
         yolo = YoloConfig(S=args.image_size // 32,
                           image_size=args.image_size)
@@ -275,7 +304,8 @@ def main(argv: list[str] | None = None) -> int:
     else:
         detect = make_detect_fn(yolo, params, stats, args.threshold,
                                 use_nms=use_nms,
-                                fold_bn=not args.no_fold_bn, v2=args.v2)
+                                fold_bn=not args.no_fold_bn, v2=args.v2,
+                                passthrough=args.passthrough)
     dets = detect(image[None])
     boxes = np.asarray(dets.boxes[0])
     scores = np.asarray(dets.scores[0])

@@ -31,6 +31,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--v2", action="store_true",
                    help="evaluate an anchor-head snapshot "
                         "(pascal_train_darknet --v2)")
+    p.add_argument("--passthrough", action="store_true",
+                   help="evaluate a full-YOLOv2 reorg-head snapshot "
+                        "(pascal_train_darknet --v2 --passthrough)")
     p.add_argument("--int8", action="store_true",
                    help="evaluate the post-training-quantized int8 "
                         "serving chain (ops.quant)")
@@ -46,11 +49,17 @@ def main(argv: list[str] | None = None) -> int:
     from tensorflow_yolo2_tpu.data.voc import PascalVOC
 
     batch_size = args.batch_size or 32
+    if args.passthrough and not args.v2:
+        p.error("--passthrough is the YOLOv2 reorg head; it requires --v2")
+    if args.passthrough and args.int8:
+        p.error("int8 serving does not cover the passthrough head's "
+                "concat route yet")
     if args.v2:
         from tensorflow_yolo2_tpu.config import yolo_v2_config
         yolo = yolo_v2_config()
+        net_name = "darknet19_v2p" if args.passthrough else "darknet19_v2"
         params, stats = load_detector_params(
-            yolo, args.tf_checkpoint, network_name="darknet19_v2")
+            yolo, args.tf_checkpoint, network_name=net_name)
     else:
         yolo = YoloConfig()
         params, stats = load_detector_params(yolo, args.tf_checkpoint)
@@ -63,7 +72,8 @@ def main(argv: list[str] | None = None) -> int:
         calib, _ = calib_imdb.get()
     detect = make_detect_fn(yolo, params, stats, args.threshold,
                             use_nms=True, nms_iou=args.nms_iou, v2=args.v2,
-                            int8=args.int8, calib_images=calib)
+                            int8=args.int8, calib_images=calib,
+                            passthrough=args.passthrough)
     mAP, aps = run_eval(detect, imdb, yolo, iou=args.iou,
                         use_07_metric=args.use_07_metric,
                         max_images=args.max_images)

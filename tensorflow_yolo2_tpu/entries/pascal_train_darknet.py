@@ -36,6 +36,11 @@ def main(argv: list[str] | None = None) -> int:
                    help="anchor-based YOLOv2 head + loss (per-slot "
                         "classes, 5 classic VOC anchors) instead of the "
                         "reference's YOLOv1 grid head")
+    p.add_argument("--passthrough", action="store_true",
+                   help="with --v2: the full YOLOv2 architecture — the "
+                        "reorg/passthrough head routing the H/16 512-ch "
+                        "feature map into the detection head (YOLO9000 "
+                        "fine-grained features)")
     p.add_argument("--multiscale", default=None,
                    help="comma-separated input sizes (multiples of 32) to "
                         "cycle every 10 batches during --v2 training "
@@ -49,6 +54,8 @@ def main(argv: list[str] | None = None) -> int:
     if args.multiscale and not args.v2:
         p.error("--multiscale requires --v2 (the anchor loss is "
                 "grid-size polymorphic; the v1 grid loss is fixed S=7)")
+    if args.passthrough and not args.v2:
+        p.error("--passthrough is the YOLOv2 reorg head; it requires --v2")
 
     from tensorflow_yolo2_tpu.utils.jaxsetup import enable_compilation_cache
     enable_compilation_cache()
@@ -64,11 +71,20 @@ def main(argv: list[str] | None = None) -> int:
         yolo = yolo_v2_config()
         from tensorflow_yolo2_tpu.losses.yolo_v2 import yolo_v2_task
         task = yolo_v2_task(yolo)
-        # the anchor head wants a linear output (no BN+leaky quirk)
-        model = Darknet19Detector(output_channels=yolo.cell_channels,
-                                  bn_on_output=False, dtype=dtype,
-                                  bn_momentum=args.bn_momentum)
-        net_name = "darknet19_v2"
+        if args.passthrough:
+            from tensorflow_yolo2_tpu.models.darknet import (
+                Darknet19DetectorV2,
+            )
+            model = Darknet19DetectorV2(output_channels=yolo.cell_channels,
+                                        dtype=dtype,
+                                        bn_momentum=args.bn_momentum)
+            net_name = "darknet19_v2p"
+        else:
+            # the anchor head wants a linear output (no BN+leaky quirk)
+            model = Darknet19Detector(output_channels=yolo.cell_channels,
+                                      bn_on_output=False, dtype=dtype,
+                                      bn_momentum=args.bn_momentum)
+            net_name = "darknet19_v2"
     else:
         yolo = YoloConfig()
         task = yolo_task(yolo, histograms=True)

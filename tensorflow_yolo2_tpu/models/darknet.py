@@ -28,7 +28,12 @@ from typing import Any, Optional, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
-from tensorflow_yolo2_tpu.models.layers import ConvBN, avg_pool, max_pool
+from tensorflow_yolo2_tpu.models.layers import (
+    ConvBN,
+    avg_pool,
+    max_pool,
+    space_to_depth,
+)
 
 # (kernel_size, features) per conv, with "M" = 2×2/2 maxpool between stages.
 # Mirrors the layer schedule at reference darknet.py:150-177 — including its
@@ -58,10 +63,21 @@ class Darknet19Backbone(nn.Module):
     fold_bn: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = False,
+                 return_mid: bool = False):
+        """``return_mid=True`` additionally returns the (H/16, W/16, 512)
+        feature map feeding the last maxpool — the YOLO9000 passthrough
+        source (the paper's "fine-grained features" route from the
+        26×26×512 layer at 416² input)."""
         conv_i = 0
+        pool_i = 0
+        n_pools = sum(1 for item in _DARKNET19_SCHEDULE if item == "M")
+        mid = None
         for item in _DARKNET19_SCHEDULE:
             if item == "M":
+                pool_i += 1
+                if pool_i == n_pools:
+                    mid = x
                 x = max_pool(x, 2, 2)
             else:
                 k, f = item
@@ -72,6 +88,8 @@ class Darknet19Backbone(nn.Module):
                            bn_axis_name=self.bn_axis_name,
                            bn_momentum=self.bn_momentum,
                            name=f"conv{conv_i}")(x, train=train)
+        if return_mid:
+            return x, mid
         return x
 
 
@@ -182,4 +200,86 @@ class Darknet19Detector(nn.Module):
                           bn_momentum=self.bn_momentum,
                           fold_bn=self.fold_bn,
                           name="detection")(x, train=train)
+        return x
+
+
+class DetectionHeadV2(nn.Module):
+    """Full YOLOv2 detection head with the passthrough (reorg) route.
+
+    Per "YOLO9000: Better, Faster, Stronger" §Fine-Grained Features — a
+    capability the reference never built (its head is the plain
+    3×conv_bn stack, darknet.py:182-201):
+
+    - two 3×3×1024 conv_bn on the trunk output (H/32);
+    - passthrough: the trunk's (H/16, 512) feature map through a 1×1×64
+      conv_bn, then a 2×2 space-to-depth reorg → (H/32, 256),
+      concatenated with the 1024-channel main path;
+    - one more 3×3×1024 conv_bn on the concat;
+    - linear 1×1 conv to ``output_channels`` (the paper's head has no
+      BN/activation on the output, unlike the reference quirk).
+    """
+
+    output_channels: int = 125  # B·(5+C) for the VOC anchor config
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+    bn_axis_name: Optional[str] = None
+    bn_momentum: float = 0.99
+    # Inference fast path: construct with BN folded into the conv weights
+    # (see models.fold.fold_params) — BN params vanish from the tree.
+    fold_bn: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mid: jnp.ndarray,
+                 train: bool = False) -> jnp.ndarray:
+        kw = dict(use_bn=not self.fold_bn, dtype=self.dtype,
+                  param_dtype=self.param_dtype,
+                  bn_axis_name=self.bn_axis_name,
+                  bn_momentum=self.bn_momentum)
+        x = ConvBN(1024, kernel_size=3, name="conv1", **kw)(x, train=train)
+        x = ConvBN(1024, kernel_size=3, name="conv2", **kw)(x, train=train)
+        p = ConvBN(64, kernel_size=1, name="passthrough", **kw)(
+            mid, train=train)
+        p = space_to_depth(p)  # (H/32, W/32, 256)
+        x = jnp.concatenate([x, p.astype(x.dtype)], axis=-1)
+        x = ConvBN(1024, kernel_size=3, name="conv3", **kw)(x, train=train)
+        x = ConvBN(self.output_channels, kernel_size=1, use_bn=False,
+                   activate=False, dtype=self.dtype,
+                   param_dtype=self.param_dtype,
+                   name="output")(x, train=train)
+        return x.astype(jnp.float32)
+
+
+class Darknet19DetectorV2(nn.Module):
+    """Backbone + passthrough head → (batch, S, S, B·(5+C)) anchor grid.
+
+    The real YOLOv2 architecture (Darknet19 trunk + reorg concat), serving
+    the same per-slot layout as losses.yolo_v2 / the fused anchor
+    decode+NMS kernel. Backbone parameter names match
+    :class:`Darknet19Detector`, so classifier warm-starts intersect
+    identically."""
+
+    output_channels: int = 125
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+    bn_axis_name: Optional[str] = None
+    bn_momentum: float = 0.99
+    # Inference fast path: construct with BN folded into the conv weights
+    # (see models.fold.fold_params) — BN params vanish from the tree.
+    fold_bn: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        x, mid = Darknet19Backbone(dtype=self.dtype,
+                                   param_dtype=self.param_dtype,
+                                   bn_axis_name=self.bn_axis_name,
+                                   bn_momentum=self.bn_momentum,
+                                   fold_bn=self.fold_bn,
+                                   name="backbone")(x, train=train,
+                                                    return_mid=True)
+        x = DetectionHeadV2(output_channels=self.output_channels,
+                            dtype=self.dtype, param_dtype=self.param_dtype,
+                            bn_axis_name=self.bn_axis_name,
+                            bn_momentum=self.bn_momentum,
+                            fold_bn=self.fold_bn,
+                            name="detection")(x, mid, train=train)
         return x

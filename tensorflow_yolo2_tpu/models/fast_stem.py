@@ -39,15 +39,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from tensorflow_yolo2_tpu.models.darknet import _DARKNET19_SCHEDULE
-from tensorflow_yolo2_tpu.models.layers import leaky_relu
-
-
-def space_to_depth(x: jnp.ndarray) -> jnp.ndarray:
-    """(B, H, W, C) → (B, H/2, W/2, 4C); channel = (2·r_row + r_col)·C + c."""
-    b, h, w, c = x.shape
-    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
-    x = x.transpose(0, 1, 3, 2, 4, 5)
-    return x.reshape(b, h // 2, w // 2, 4 * c)
+from tensorflow_yolo2_tpu.models.layers import leaky_relu, space_to_depth
 
 
 def phase_kernel(w: jnp.ndarray, di: int, dj: int) -> jnp.ndarray:

@@ -36,6 +36,19 @@ def leaky_relu(x: jnp.ndarray, alpha: float = LEAKY_ALPHA) -> jnp.ndarray:
     return jnp.maximum(alpha * x, x)
 
 
+def space_to_depth(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W, C) → (B, H/2, W/2, 4C); channel = (2·r_row + r_col)·C + c.
+
+    The YOLO9000 "reorg" / passthrough transform (and the building block
+    of the s2d stem rewrite, models.fast_stem). Pure reshape/transpose —
+    XLA lowers it to a copy with no compute.
+    """
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h // 2, w // 2, 4 * c)
+
+
 class ConvBN(nn.Module):
     """3×3/1×1 SAME conv + BatchNorm + leaky-ReLU (reference conv_bn_layer).
 

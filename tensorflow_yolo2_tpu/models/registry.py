@@ -64,6 +64,12 @@ def _register_builtins() -> None:
     def _darknet19_det(output_channels: int = 30, **kw: Any) -> nn.Module:
         return darknet.Darknet19Detector(output_channels=output_channels, **kw)
 
+    @register("darknet19_detection_v2", 416)
+    def _darknet19_det_v2(output_channels: int = 125, **kw: Any) -> nn.Module:
+        # full YOLOv2 head: passthrough/reorg route + linear anchor output
+        return darknet.Darknet19DetectorV2(
+            output_channels=output_channels, **kw)
+
     try:
         from tensorflow_yolo2_tpu.models import resnet
 
