@@ -7,12 +7,14 @@ decode+NMS serving kernel — the same chain pascal_detect_darknet --nms
 serves. The old host-NMS tail is gone: suppression happens on-chip and
 the host fetch is the K kept slots.
 
-The host IO leg runs twice: once through the standard decode (cv2 full
-decode + native fused resize) and once through the fused native JPEG
-path (TFY2_FAST_JPEG — DCT-domain scaled decode straight into the
-resize+normalize pass), so the report shows what the fast path buys on
-this image mix. Camera/ILSVRC-sized sources (≥2× the 448² target)
-decode at 1/2..1/8 scale there.
+Three legs: the standard decode (cv2 full decode + native fused
+resize/normalize), the fused native JPEG path (TFY2_FAST_JPEG —
+DCT-domain scaled decode straight into the resize+normalize pass;
+camera/ILSVRC-sized sources ≥2× the 448² target decode at 1/2..1/8
+scale), and the uint8-transfer path (host ships raw uint8 — 4x fewer
+host↔device bytes — and the chip normalizes on-device). A host-IO-only
+microbench per leg is printed first, since transfer-bound links hide
+the decode difference in the end-to-end number.
 
 Usage: python benchmarks/serving_pipeline.py [image_dir] [batch] [steps]
 With no image_dir, synthesizes a directory of 1280×960 JPEGs first
@@ -30,7 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tensorflow_yolo2_tpu.config import YoloConfig
-from tensorflow_yolo2_tpu.data.augment import image_read
+from tensorflow_yolo2_tpu.data.augment import image_read, image_read_u8
 from tensorflow_yolo2_tpu.data.prefetch import PrefetchLoader, device_prefetch
 from tensorflow_yolo2_tpu.models.darknet import Darknet19Detector
 from tensorflow_yolo2_tpu.models.fold import fold_params
@@ -85,21 +87,31 @@ def main() -> int:
 
     @jax.jit
     def forward(params, images):
+        if images.dtype == jnp.uint8:
+            # device-normalize path: host ships uint8 (4x fewer tunnel
+            # bytes), the chip fuses (x/255)*2-1 into the first conv
+            images = images.astype(jnp.float32) / 255.0 * 2.0 - 1.0
         grid = fmodel.apply({"params": params}, images, train=False)
         # production serving path: the fused decode+NMS kernel
         return decode_nms_pallas(grid, yolo, 0.3, 0.5, max_outputs=32)
 
-    def run_pipeline(fast_jpeg: bool) -> tuple[float, int]:
+    def make_reader(fast_jpeg: bool, u8: bool):
         cursor = [0]
+        read = image_read_u8 if u8 else image_read
+        dtype = np.uint8 if u8 else np.float32
 
         def read_batch():
-            out = np.empty((batch, SIZE, SIZE, 3), np.float32)
+            out = np.empty((batch, SIZE, SIZE, 3), dtype)
             for j in range(batch):
-                out[j] = image_read(files[cursor[0] % len(files)], SIZE,
-                                    fast_jpeg=fast_jpeg)
+                out[j] = read(files[cursor[0] % len(files)], SIZE,
+                              fast_jpeg=fast_jpeg)
                 cursor[0] += 1
             return out
 
+        return read_batch
+
+    def run_pipeline(fast_jpeg: bool, u8: bool = False) -> tuple[float, int]:
+        read_batch = make_reader(fast_jpeg, u8)
         n_det = 0
         with PrefetchLoader(read_batch, num_workers=2,
                             prefetch_size=4) as loader:
@@ -123,6 +135,29 @@ def main() -> int:
             dt = time.perf_counter() - t0
         return steps * batch / dt, n_det
 
+    # Host-IO-only microbench first (single thread, no device): on
+    # transfer-bound links (the axon tunnel here; PCIe in production) the
+    # end-to-end number hides the decode-path difference, so report what
+    # the host leg alone delivers.
+    def host_io_rate(fast_jpeg: bool, u8: bool, batches: int = 4) -> float:
+        read_batch = make_reader(fast_jpeg, u8)
+        read_batch()  # touch page cache / lazy init outside the window
+        t0 = time.perf_counter()
+        for _ in range(batches):
+            read_batch()
+        return batches * batch / (time.perf_counter() - t0)
+
+    io_std = host_io_rate(fast_jpeg=False, u8=False)
+    print(f"host IO (std: cv2 decode + fused resize/normalize): "
+          f"{io_std:.0f} images/sec")
+    if native.jpeg_available():
+        io_fast = host_io_rate(fast_jpeg=True, u8=False)
+        io_u8 = host_io_rate(fast_jpeg=True, u8=True)
+        print(f"host IO (fused native JPEG, DCT-scaled decode): "
+              f"{io_fast:.0f} images/sec ({io_fast / io_std:.2f}x std)")
+        print(f"host IO (fused native JPEG → uint8, device-normalize): "
+              f"{io_u8:.0f} images/sec ({io_u8 / io_std:.2f}x std)")
+
     ips_std, n_det = run_pipeline(fast_jpeg=False)
     print(f"serving pipeline (native_io={native.available()}, std decode): "
           f"{ips_std:.0f} images/sec end-to-end "
@@ -132,6 +167,11 @@ def main() -> int:
         print(f"serving pipeline (fused native JPEG, DCT-scaled decode): "
               f"{ips_fast:.0f} images/sec end-to-end "
               f"({ips_fast / ips_std:.2f}x the std decode)")
+        ips_u8, n_det_u8 = run_pipeline(fast_jpeg=True, u8=True)
+        print(f"serving pipeline (uint8 transfer + device normalize): "
+              f"{ips_u8:.0f} images/sec end-to-end "
+              f"({ips_u8 / ips_std:.2f}x the std decode, "
+              f"{n_det_u8} detections kept)")
     else:
         print("native JPEG path unavailable (library built without "
               "libjpeg) — fast-decode leg skipped")

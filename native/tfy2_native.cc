@@ -34,6 +34,10 @@
 //       the exact bilinear pass. The reference decodes every image at
 //       full resolution through cv2 and resizes after
 //       (pascal_voc.py:60-67, ilsvrc2017_cls_multithread.py:320-340).
+//   tfy2_resize_u8 / tfy2_jpeg_resize_u8 — same pipelines with raw uint8
+//       output: the device-normalize serving path ships uint8 to the chip
+//       (4x fewer host↔device bytes) and the chip fuses (x/255)*2-1 into
+//       the first conv — bit-identical to the float path.
 
 #include <algorithm>
 #include <cmath>
@@ -122,19 +126,28 @@ static void hresize_row(const uint8_t* srow, int sw, int dw,
     }
 }
 
+// Output sinks: float32 [-1,1] normalize (the classic fused path) or raw
+// uint8 (the device-normalize serving path — 4x fewer bytes over
+// host↔device links; the chip does (x/255)*2-1 as its first fused op, so
+// the result is bit-identical to the float path).
+static inline void emit_px(float* d, int v) {
+    // (float)v/255*2-1 in that order is bit-identical to numpy's
+    // (x/255.0)*2.0-1.0 (every step a correctly-rounded f32 op).
+    *d = (float)v / 255.0f * 2.0f - 1.0f;
+}
+static inline void emit_px(uint8_t* d, int v) { *d = (uint8_t)v; }
+
 // Vertical pass over one output row: branch-free, auto-vectorizable.
-// (float)v/255*2-1 in that order is bit-identical to numpy's
-// (x/255.0)*2.0-1.0 (every step a correctly-rounded f32 op).
-template <bool kFlip>
+template <bool kFlip, typename T>
 static void vresize_row(const int* row0, const int* row1, int b0, int b1,
-                        int n3, float* d) {
+                        int n3, T* d) {
     if (!kFlip) {
         for (int i = 0; i < n3; ++i) {
             // cv2 VResizeLinear<uchar> fixed-point rounding, exactly.
             int v = (((b0 * (row0[i] >> 4)) >> 16) +
                      ((b1 * (row1[i] >> 4)) >> 16) + 2) >> 2;
             v = std::min(std::max(v, 0), 255);
-            d[i] = (float)v / 255.0f * 2.0f - 1.0f;
+            emit_px(d + i, v);
         }
     } else {
         int dw = n3 / 3;
@@ -145,15 +158,15 @@ static void vresize_row(const int* row0, const int* row1, int b0, int b1,
                 int v = (((b0 * (r0[c] >> 4)) >> 16) +
                          ((b1 * (r1[c] >> 4)) >> 16) + 2) >> 2;
                 v = std::min(std::max(v, 0), 255);
-                d[(size_t)x * 3 + c] = (float)v / 255.0f * 2.0f - 1.0f;
+                emit_px(d + (size_t)x * 3 + c, v);
             }
         }
     }
 }
 
-template <bool kSwap, bool kFlip>
+template <bool kSwap, bool kFlip, typename T>
 static void resize_normalize_impl(const uint8_t* src, int sh, int sw,
-                                  float* dst, int dh, int dw) {
+                                  T* dst, int dh, int dw) {
     std::vector<LinCoef> xc, yc;
     build_coefs(sw, dw, xc);
     build_coefs(sh, dh, yc);
@@ -183,19 +196,39 @@ static void resize_normalize_impl(const uint8_t* src, int sh, int sw,
     }
 }
 
+template <typename T>
+static void resize_dispatch(const uint8_t* src, int sh, int sw, T* dst,
+                            int dh, int dw, int swap_rb, int hflip) {
+    if (swap_rb) {
+        if (hflip)
+            resize_normalize_impl<true, true>(src, sh, sw, dst, dh, dw);
+        else
+            resize_normalize_impl<true, false>(src, sh, sw, dst, dh, dw);
+    } else {
+        if (hflip)
+            resize_normalize_impl<false, true>(src, sh, sw, dst, dh, dw);
+        else
+            resize_normalize_impl<false, false>(src, sh, sw, dst, dh, dw);
+    }
+}
+
 // src: uint8 HWC (sh, sw, 3); dst: float32 (dh, dw, 3) in [-1, 1].
 // swap_rb: exchange channels 0/2 (BGR→RGB). hflip: mirror horizontally
 // (applied to the resized image, matching image_read's flip-after-resize).
 extern "C" void tfy2_resize_normalize(const uint8_t* src, int sh, int sw,
                                       float* dst, int dh, int dw,
                                       int swap_rb, int hflip) {
-    if (swap_rb) {
-        if (hflip) resize_normalize_impl<true, true>(src, sh, sw, dst, dh, dw);
-        else resize_normalize_impl<true, false>(src, sh, sw, dst, dh, dw);
-    } else {
-        if (hflip) resize_normalize_impl<false, true>(src, sh, sw, dst, dh, dw);
-        else resize_normalize_impl<false, false>(src, sh, sw, dst, dh, dw);
-    }
+    resize_dispatch(src, sh, sw, dst, dh, dw, swap_rb, hflip);
+}
+
+// Same bilinear arithmetic, raw uint8 output (no normalize): the
+// device-normalize serving path ships this and the chip applies
+// (x/255)*2-1 as its first fused op — bit-identical result, 4x fewer
+// bytes over the host↔device link.
+extern "C" void tfy2_resize_u8(const uint8_t* src, int sh, int sw,
+                               uint8_t* dst, int dh, int dw, int swap_rb,
+                               int hflip) {
+    resize_dispatch(src, sh, sw, dst, dh, dw, swap_rb, hflip);
 }
 
 // uint8 (n) → float32 (n) in [-1, 1]: (x/255)*2 - 1, bit-identical to the
@@ -237,10 +270,9 @@ extern "C" int tfy2_has_jpeg() { return 1; }
 // byte-identical input to the cv2 path for baseline JPEGs.
 //
 // Returns 0 on success, 1 on any decode error (caller falls back to cv2).
-extern "C" int tfy2_jpeg_resize_normalize(const uint8_t* data, int64_t n,
-                                          float* dst, int dh, int dw,
-                                          int swap_rb, int hflip,
-                                          int fast_scale) {
+template <typename T>
+static int jpeg_resize_impl(const uint8_t* data, int64_t n, T* dst, int dh,
+                            int dw, int swap_rb, int hflip, int fast_scale) {
     jpeg_decompress_struct cinfo;
     JpegErrorJmp jerr;
     cinfo.err = jpeg_std_error(&jerr.mgr);
@@ -286,12 +318,25 @@ extern "C" int tfy2_jpeg_resize_normalize(const uint8_t* data, int64_t n,
     jpeg_finish_decompress(&cinfo);
     jpeg_destroy_decompress(&cinfo);
     // channel order is already final — resize never swaps here
-    if (hflip)
-        resize_normalize_impl<false, true>(pixels.data(), sh, sw, dst, dh, dw);
-    else
-        resize_normalize_impl<false, false>(pixels.data(), sh, sw, dst, dh,
-                                            dw);
+    resize_dispatch(pixels.data(), sh, sw, dst, dh, dw, /*swap_rb=*/0,
+                    hflip);
     return 0;
+}
+
+extern "C" int tfy2_jpeg_resize_normalize(const uint8_t* data, int64_t n,
+                                          float* dst, int dh, int dw,
+                                          int swap_rb, int hflip,
+                                          int fast_scale) {
+    return jpeg_resize_impl(data, n, dst, dh, dw, swap_rb, hflip,
+                            fast_scale);
+}
+
+// uint8-output variant for the device-normalize serving path.
+extern "C" int tfy2_jpeg_resize_u8(const uint8_t* data, int64_t n,
+                                   uint8_t* dst, int dh, int dw, int swap_rb,
+                                   int hflip, int fast_scale) {
+    return jpeg_resize_impl(data, n, dst, dh, dw, swap_rb, hflip,
+                            fast_scale);
 }
 
 #else  // !TFY2_WITH_JPEG
@@ -300,6 +345,11 @@ extern "C" int tfy2_has_jpeg() { return 0; }
 
 extern "C" int tfy2_jpeg_resize_normalize(const uint8_t*, int64_t, float*,
                                           int, int, int, int, int) {
+    return 1;
+}
+
+extern "C" int tfy2_jpeg_resize_u8(const uint8_t*, int64_t, uint8_t*, int,
+                                   int, int, int, int) {
     return 1;
 }
 

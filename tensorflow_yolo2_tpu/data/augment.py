@@ -93,6 +93,45 @@ def image_read(path: str, image_size: int, rgb: bool = False,
     return image
 
 
+def image_read_u8(path: str, image_size: int, rgb: bool = False,
+                  flipped: bool = False,
+                  fast_jpeg: bool | None = None) -> np.ndarray:
+    """:func:`image_read` without the final normalize — returns uint8.
+
+    The device-normalize serving path: the host ships the uint8 tensor
+    (4x fewer host↔device bytes than float32) and the chip applies
+    (x/255)*2-1 on-device as its first fused op (make_detect_fn accepts
+    uint8 batches), bit-identical to the float path since both quantize
+    through the same fixed-point bilinear value.
+    """
+    if fast_jpeg is None:
+        fast_jpeg = _os.environ.get("TFY2_FAST_JPEG", "0") == "1"
+    if fast_jpeg and path.lower().endswith((".jpg", ".jpeg")):
+        try:
+            with open(path, "rb") as f:
+                data = f.read()
+        except OSError:
+            raise FileNotFoundError(path)
+        fused = native.jpeg_resize_u8(
+            data, image_size, image_size, swap_rb=rgb, hflip=flipped,
+            fast_scale=True)
+        if fused is not None:
+            return fused
+    image = cv2.imread(path)
+    if image is None:
+        raise FileNotFoundError(path)
+    fused = native.resize_u8(image, image_size, image_size,
+                             swap_rb=rgb, hflip=flipped)
+    if fused is not None:
+        return fused
+    if rgb:
+        image = cv2.cvtColor(image, cv2.COLOR_BGR2RGB)
+    image = cv2.resize(image, (image_size, image_size))
+    if flipped:
+        image = image[:, ::-1, :]
+    return image
+
+
 def augment_image(image: np.ndarray, cfg: AugmentConfig,
                   rng: random.Random, rgb: bool = False) -> np.ndarray:
     """Apply the reference augmentation distribution to a uint8 image

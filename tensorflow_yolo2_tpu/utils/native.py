@@ -99,6 +99,14 @@ def _load() -> Optional[ctypes.CDLL]:
             u8p, ctypes.c_int64, f32p, ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_int]
         lib.tfy2_jpeg_resize_normalize.restype = ctypes.c_int
+        lib.tfy2_resize_u8.argtypes = [
+            u8p, ctypes.c_int, ctypes.c_int, u8p, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int]
+        lib.tfy2_resize_u8.restype = None
+        lib.tfy2_jpeg_resize_u8.argtypes = [
+            u8p, ctypes.c_int64, u8p, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int]
+        lib.tfy2_jpeg_resize_u8.restype = ctypes.c_int
         _LIB = lib
         return _LIB
 
@@ -130,6 +138,29 @@ def resize_normalize(image: np.ndarray, height: int, width: int,
     lib.tfy2_resize_normalize(
         _ptr(image, ctypes.c_uint8), image.shape[0], image.shape[1],
         _ptr(out, ctypes.c_float), height, width,
+        int(swap_rb), int(hflip))
+    return out
+
+
+def resize_u8(image: np.ndarray, height: int, width: int,
+              swap_rb: bool = False,
+              hflip: bool = False) -> Optional[np.ndarray]:
+    """Bilinear resize + swap + flip with raw uint8 output (no normalize).
+
+    Same fixed-point arithmetic as :func:`resize_normalize` before the
+    [-1,1] step — the device-normalize serving path ships this uint8
+    tensor to the chip (4x fewer host↔device bytes) and the chip applies
+    (x/255)*2-1 on-device, bit-identical to the float path.
+    """
+    lib = _load()
+    if lib is None or image.ndim != 3 or image.shape[2] != 3 \
+            or image.dtype != np.uint8:
+        return None
+    image = np.ascontiguousarray(image)
+    out = np.empty((height, width, 3), np.uint8)
+    lib.tfy2_resize_u8(
+        _ptr(image, ctypes.c_uint8), image.shape[0], image.shape[1],
+        _ptr(out, ctypes.c_uint8), height, width,
         int(swap_rb), int(hflip))
     return out
 
@@ -173,6 +204,25 @@ def jpeg_resize_normalize(jpeg_bytes: bytes, height: int, width: int,
     out = np.empty((height, width, 3), np.float32)
     rc = lib.tfy2_jpeg_resize_normalize(
         _ptr(buf, ctypes.c_uint8), buf.size, _ptr(out, ctypes.c_float),
+        height, width, int(swap_rb), int(hflip), int(fast_scale))
+    if rc != 0:
+        return None
+    return out
+
+
+def jpeg_resize_u8(jpeg_bytes: bytes, height: int, width: int,
+                   swap_rb: bool = False, hflip: bool = False,
+                   fast_scale: bool = True) -> Optional[np.ndarray]:
+    """:func:`jpeg_resize_normalize` with raw uint8 output (no normalize)
+    for the device-normalize serving path. Returns uint8
+    (height, width, 3) or None (caller falls back)."""
+    lib = _load()
+    if lib is None or not lib.tfy2_has_jpeg():
+        return None
+    buf = np.frombuffer(jpeg_bytes, np.uint8)
+    out = np.empty((height, width, 3), np.uint8)
+    rc = lib.tfy2_jpeg_resize_u8(
+        _ptr(buf, ctypes.c_uint8), buf.size, _ptr(out, ctypes.c_uint8),
         height, width, int(swap_rb), int(hflip), int(fast_scale))
     if rc != 0:
         return None

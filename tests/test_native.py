@@ -330,3 +330,89 @@ def test_image_read_fast_jpeg_path(tmp_path):
     got_png = image_read(png, 224, fast_jpeg=True)
     want_png = image_read(png, 224, fast_jpeg=False)
     np.testing.assert_allclose(got_png, want_png, atol=LEVEL)
+
+
+# ---------------------------------------------------------------------------
+# uint8-output variants (device-normalize serving path)
+# ---------------------------------------------------------------------------
+
+
+def test_resize_u8_matches_normalized_path():
+    # same fixed-point bilinear value: normalize(resize_u8(x)) must be
+    # bit-identical to resize_normalize(x)
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, (37, 53, 3), np.uint8)
+    for rgb in (False, True):
+        for flip in (False, True):
+            u8 = native.resize_u8(img, 24, 24, swap_rb=rgb, hflip=flip)
+            assert u8 is not None and u8.dtype == np.uint8
+            want = native.resize_normalize(img, 24, 24, swap_rb=rgb,
+                                           hflip=flip)
+            np.testing.assert_array_equal(_normalize(u8), want)
+
+
+@jpeg_mark
+def test_jpeg_resize_u8_matches_normalized_path(tmp_path):
+    img = _smooth_image(120, 160, seed=12)
+    path = str(tmp_path / "img.jpg")
+    assert cv2.imwrite(path, img)
+    data = open(path, "rb").read()
+    for fast in (False, True):
+        u8 = native.jpeg_resize_u8(data, 48, 48, fast_scale=fast)
+        want = native.jpeg_resize_normalize(data, 48, 48, fast_scale=fast)
+        assert u8 is not None and u8.dtype == np.uint8
+        np.testing.assert_array_equal(_normalize(u8), want)
+    assert native.jpeg_resize_u8(b"junk", 32, 32) is None
+
+
+def test_image_read_u8_matches_image_read(tmp_path):
+    from tensorflow_yolo2_tpu.data.augment import image_read, image_read_u8
+    rng = np.random.RandomState(13)
+    img = rng.randint(0, 256, (90, 120, 3), np.uint8)
+    path = str(tmp_path / "img.png")  # lossless: exercises the cv2 branch
+    assert cv2.imwrite(path, img)
+    for rgb in (False, True):
+        for flip in (False, True):
+            u8 = image_read_u8(path, 64, rgb=rgb, flipped=flip)
+            f32 = image_read(path, 64, rgb=rgb, flipped=flip)
+            assert u8.dtype == np.uint8
+            np.testing.assert_array_equal(_normalize(u8), f32)
+
+
+def test_device_normalize_matches_host_normalize():
+    # the on-device (x/255)*2-1 applied by make_detect_fn to uint8 input
+    # must be bit-identical to the host normalize
+    import jax.numpy as jnp
+    rng = np.random.RandomState(14)
+    u8 = rng.randint(0, 256, (2, 8, 8, 3), np.uint8)
+    dev = np.asarray(jnp.asarray(u8).astype(jnp.float32) / 255.0 * 2.0
+                     - 1.0)
+    np.testing.assert_array_equal(dev, _normalize(u8))
+
+
+def test_detect_fn_uint8_input_matches_float():
+    # make_detect_fn serves uint8 batches via on-device normalize; the
+    # detections must match the host-normalized float path exactly
+    import jax
+    import jax.numpy as jnp
+    from tensorflow_yolo2_tpu.config import YoloConfig
+    from tensorflow_yolo2_tpu.entries.pascal_detect_darknet import (
+        make_detect_fn,
+    )
+    from tensorflow_yolo2_tpu.models.darknet import Darknet19Detector
+
+    yolo = YoloConfig(S=2, image_size=64)
+    model = Darknet19Detector(output_channels=yolo.cell_channels)
+    rng = np.random.RandomState(15)
+    u8 = rng.randint(0, 256, (1, 64, 64, 3), np.uint8)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 3)), train=False)
+    detect = make_detect_fn(yolo, variables["params"],
+                            variables["batch_stats"], object_thresh=0.0,
+                            dtype=jnp.float32)
+    want = detect(jnp.asarray(_normalize(u8)))
+    got = detect(jnp.asarray(u8))
+    np.testing.assert_allclose(np.asarray(got.boxes),
+                               np.asarray(want.boxes), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got.scores),
+                               np.asarray(want.scores), atol=1e-6)
