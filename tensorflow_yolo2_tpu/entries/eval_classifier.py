@@ -29,6 +29,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--preprocessing-name", default=None,
                    help="factory preprocessing instead of the dataset's "
                         "native convention (slim's preprocessing_name)")
+    p.add_argument("--labels-offset", type=int, default=0,
+                   help="subtract this offset from dataset labels and "
+                        "shrink the logits layer to num_classes-offset "
+                        "(slim's labels_offset flag, "
+                        "eval_image_classifier.py:62,104,116)")
     p.add_argument("--use-ema", action="store_true",
                    help="evaluate the EMA weights from the snapshot "
                         "(reference eval_image_classifier's "
@@ -44,7 +49,11 @@ def main(argv: list[str] | None = None) -> int:
     imdb = get_dataset(args.dataset_name, args.dataset_split_name,
                        batch_size=batch_size, data_path=args.data_path,
                        preprocessing_name=args.preprocessing_name, **size_kw)
-    model = get_network(args.model_name, num_classes=imdb.num_class,
+    if not 0 <= args.labels_offset < imdb.num_class:
+        p.error(f"--labels-offset {args.labels_offset} out of range for "
+                f"{imdb.num_class} classes")
+    model = get_network(args.model_name,
+                        num_classes=imdb.num_class - args.labels_offset,
                         dtype=dtype)
     # --use-ema: give the restore target an ema_params slot so the EMA
     # weights in the snapshot are restored (any decay value works — only
@@ -63,6 +72,10 @@ def main(argv: list[str] | None = None) -> int:
         if epoch_mgr.latest_step() is not None:
             mgr = epoch_mgr
     get_batch = getattr(imdb, "get_val", imdb.get)
+    if args.labels_offset:
+        def get_batch(_get=get_batch, _off=args.labels_offset):
+            images, labels = _get()
+            return images, labels - _off
     sample, _ = get_batch()
     info: dict = {}
     if args.tf_checkpoint:

@@ -77,6 +77,16 @@ def add_slim_flags(p) -> None:
                         "dataset's native convention (slim's "
                         "preprocessing_name flag: cifarnet/lenet/vgg/"
                         "inception/... — data.preprocessing)")
+    p.add_argument("--label-smoothing", type=float, default=0.0,
+                   help="blend one-hot targets toward uniform by this "
+                        "amount in the CE loss (slim's label_smoothing "
+                        "flag, train_image_classifier.py:142,474-477)")
+    p.add_argument("--labels-offset", type=int, default=0,
+                   help="subtract this offset from dataset labels and "
+                        "shrink the logits layer to num_classes-offset "
+                        "(slim's labels_offset flag for the vgg/resnet "
+                        "no-background-class convention, "
+                        "train_image_classifier.py:178,422,444)")
     p.add_argument("--aux-loss", action="store_true",
                    help="train with the model's auxiliary classifier "
                         "head(s) at 0.4 loss weight (inception v1/v3/v4; "
@@ -105,9 +115,13 @@ def main(argv: list[str] | None = None) -> int:
                        batch_size=batch_size, data_path=args.data_path,
                        seed=args.seed,
                        preprocessing_name=args.preprocessing_name, **size_kw)
+    if not 0 <= args.labels_offset < imdb.num_class:
+        p.error(f"--labels-offset {args.labels_offset} out of range for "
+                f"{imdb.num_class} classes")
     net_kw = {"aux_logits": True} if args.aux_loss else {}
     try:
-        model = get_network(args.model_name, num_classes=imdb.num_class,
+        model = get_network(args.model_name,
+                            num_classes=imdb.num_class - args.labels_offset,
                             dtype=dtype, **net_kw)
     except TypeError:
         p.error(f"--aux-loss: {args.model_name} has no auxiliary "
@@ -135,8 +149,10 @@ def main(argv: list[str] | None = None) -> int:
                                     model=args.model_parallel))
     else:
         mesh = make_mesh_for_batch(batch_size, model=args.model_parallel)
-    trainer = Trainer(model, softmax_task(), opt_cfg, mesh=mesh,
-                      activation_summaries=args.activation_summaries)
+    trainer = Trainer(
+        model, softmax_task(label_smoothing=args.label_smoothing),
+        opt_cfg, mesh=mesh,
+        activation_summaries=args.activation_summaries)
     paths = Paths()
     mgr = CheckpointManager(args.model_name, imdb.name, paths=paths)
     writer = MetricsWriter(
@@ -162,8 +178,14 @@ def main(argv: list[str] | None = None) -> int:
         warm_start_dir=warm_dir, warm_start_exclude=exclude,
         warm_start_tree=warm_tree)
 
+    get_batch = imdb.get
+    if args.labels_offset:
+        def get_batch(_get=imdb.get, _off=args.labels_offset):
+            images, labels = _get()
+            return images, labels - _off
+
     state = common.run_train_loop(
-        trainer, state, imdb.get, mgr, writer, start_iter=start,
+        trainer, state, get_batch, mgr, writer, start_iter=start,
         num_iters=iters, log_every=args.log_every,
         save_every=args.save_every or max(iters // 4, 1),
         num_workers=args.num_workers,

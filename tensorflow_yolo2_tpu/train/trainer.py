@@ -84,25 +84,38 @@ def yolo_task(yolo_cfg: YoloConfig, histograms: bool = False) -> Callable:
     return task
 
 
-def softmax_task(aux_weight: float = 0.4) -> Callable:
+def softmax_task(aux_weight: float = 0.4,
+                 label_smoothing: float = 0.0) -> Callable:
     """Classification task: sparse softmax CE + accuracy (reference
     imagenet_train_darknet.py:50-61, flowers_train.py:25-35).
 
     Models built with ``aux_logits=True`` (inception v1/v3) return
     ``(logits, aux_logits)``; the aux head contributes an
     ``aux_weight``-scaled CE term (slim's 0.4-weighted aux loss in
-    train_image_classifier's clone_fn)."""
+    train_image_classifier's clone_fn).
+
+    ``label_smoothing`` blends the one-hot target toward uniform —
+    ``onehot·(1−ε) + ε/K`` — on both the main and aux CE terms, exactly
+    slim's ``tf.losses.softmax_cross_entropy(label_smoothing=...)``
+    (train_image_classifier.py:142,474-477)."""
+
+    def ce(logits, labels):
+        if label_smoothing:
+            k = logits.shape[-1]
+            onehot = jax.nn.one_hot(labels, k, dtype=logits.dtype)
+            smoothed = onehot * (1.0 - label_smoothing) + label_smoothing / k
+            return jnp.mean(optax.softmax_cross_entropy(logits, smoothed))
+        return jnp.mean(
+            optax.softmax_cross_entropy_with_integer_labels(logits, labels))
 
     def task(outputs, labels: jnp.ndarray):
         aux = None
         if isinstance(outputs, tuple):
             outputs, aux = outputs
-        loss = jnp.mean(optax.softmax_cross_entropy_with_integer_labels(
-            outputs, labels))
+        loss = ce(outputs, labels)
         metrics = {"loss": loss}
         if aux is not None:
-            aux_loss = jnp.mean(
-                optax.softmax_cross_entropy_with_integer_labels(aux, labels))
+            aux_loss = ce(aux, labels)
             loss = loss + aux_weight * aux_loss
             metrics = {"loss": loss, "aux_loss": aux_loss}
         metrics["accuracy"] = jnp.mean(
