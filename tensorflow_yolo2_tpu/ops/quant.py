@@ -167,16 +167,24 @@ def quantize_folded(params: Mapping[str, Any], act_scales: jnp.ndarray,
 def forward_int8(layers: Sequence[Mapping[str, jnp.ndarray]],
                  images: jnp.ndarray, v2: bool = False,
                  head: str = "detector") -> jnp.ndarray:
-    """Quantized forward: f32 images → f32 output map.
+    """Quantized forward: f32 (or raw uint8) images → f32 output map.
 
     Each conv runs int8×int8→int32 on the MXU; dequant + bias + leaky +
     requant form the (XLA-fused) epilogue; pools stay int8. The final
     map is returned in f32 — the detection grid for the fused Pallas
     decode+NMS kernel, or the pre-pool class map for the classifier.
+
+    uint8 input selects the device-normalize serving path (the host
+    ships raw bytes from image_read_u8, 4× fewer transfer bytes): the
+    chip applies (x/255)·2−1 before requantizing with the calibrated
+    input scale — identical to normalizing on the host, and the same
+    convention make_detect_fn's bf16 path uses.
     """
     plan, convs = layer_plan(v2, head)
-    x = _quantize_act(jnp.asarray(images, jnp.float32),
-                      layers[0]["inv_in"])
+    x = jnp.asarray(images)
+    if x.dtype == jnp.uint8:
+        x = x.astype(jnp.float32) / 255.0 * 2.0 - 1.0
+    x = _quantize_act(x.astype(jnp.float32), layers[0]["inv_in"])
     ci = 0
     for step in plan:
         if step == "pool":

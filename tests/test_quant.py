@@ -145,6 +145,21 @@ def test_int8_pool_commutes_with_quantization():
                                   np.asarray(quant_then_pooled))
 
 
+def test_forward_int8_uint8_input_matches_normalized(v1_setup):
+    """uint8 batches (the uint8-transfer serving path, image_read_u8)
+    decode identically to host-normalized f32: the chip applies
+    (x/255)·2−1 before the calibrated requantize."""
+    yolo, fmodel, folded, _ = v1_setup
+    u8 = np.random.RandomState(1).randint(
+        0, 256, (2, _IMG, _IMG, 3)).astype(np.uint8)
+    normed = (u8.astype(np.float32) / 255.0) * 2.0 - 1.0
+    scales = calibrate(folded, jnp.asarray(normed))
+    layers = quantize_folded(folded, scales)
+    out_u8 = np.asarray(jax.jit(forward_int8)(layers, jnp.asarray(u8)))
+    out_f32 = np.asarray(jax.jit(forward_int8)(layers, jnp.asarray(normed)))
+    np.testing.assert_array_equal(out_u8, out_f32)
+
+
 @pytest.mark.tpu
 @pytest.mark.skipif(jax.default_backend() != "tpu",
                     reason="needs the real TPU backend")
