@@ -137,6 +137,21 @@ class YoloConfig:
     # Anchor priors (w, h) in grid-cell units, used only by the v2-style
     # decode/loss; the reference YOLOv1 path has no anchors (SURVEY caveat).
     anchors: tuple[tuple[float, float], ...] = ()
+    # -- YOLO9000 training stabilizers (losses.yolo_v2 only; the darknet
+    # region-loss semantics the reference never implemented) --------------
+    # Slots whose best IoU against ANY ground-truth box exceeds this are
+    # exempt from the no-object penalty (darknet region_layer thresh=0.6);
+    # 1.0 disables the exemption.
+    v2_ignore_iou: float = 0.6
+    # For the first N training *samples*, regress non-owner raw boxes
+    # toward their anchor prior at cell center (σ(txy)→0.5, twh→0) with
+    # weight v2_prior_weight (darknet's seen<12800 burn-in). Active only
+    # when the trainer threads the step count into the loss.
+    v2_burnin_samples: int = 12800
+    v2_prior_weight: float = 0.01
+    # Scale the coord term per object by (2 − w·h) (w, h image fractions):
+    # small boxes get up to 2× coordinate weight (darknet region loss).
+    v2_coord_scale: bool = True
 
     @property
     def cell_channels(self) -> int:

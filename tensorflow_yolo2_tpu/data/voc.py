@@ -60,6 +60,41 @@ def build_label_grid(corners_xyxy: np.ndarray, cls_inds: np.ndarray,
     return label
 
 
+def build_label_grid_v2(corners_xyxy: np.ndarray, cls_inds: np.ndarray,
+                        S: int, B: int, anchors, num_class: int,
+                        image_size: float) -> np.ndarray:
+    """Resized-space x1y1x2y2 boxes → (S, S, B, 5+num_class) per-SLOT grid.
+
+    The anchor-mode label layout: each object is assigned to its center
+    cell's best shape-IoU-matching FREE anchor slot (next-best if taken;
+    dropped only when all B slots of the cell are full), so one cell can
+    own up to B objects — the capability the reference's first-wins
+    builder caps (pascal_voc.py:159-163). Ties resolve to the lowest
+    anchor index, matching the in-loss argmax of losses.yolo_v2.
+    ``anchors`` are (B, 2) w/h priors in grid-cell units; assignment is
+    invariant under YoloConfig.at_scale rescaling (shape IoU is scale
+    free), so multiscale buckets agree on ownership.
+    """
+    anchors = np.asarray(anchors, np.float32).reshape(B, 2)
+    label = np.zeros((S, S, B, 5 + num_class), np.float32)
+    for (x1, y1, x2, y2), cls_ind in zip(corners_xyxy, cls_inds):
+        boxes = [(x2 + x1) / 2.0, (y2 + y1) / 2.0, x2 - x1, y2 - y1]
+        x_ind = int(boxes[0] * S / image_size)
+        y_ind = int(boxes[1] * S / image_size)
+        wh = np.array([boxes[2], boxes[3]], np.float32) * S / image_size
+        inter = (np.minimum(anchors[:, 0], wh[0]) *
+                 np.minimum(anchors[:, 1], wh[1]))
+        union = anchors[:, 0] * anchors[:, 1] + wh[0] * wh[1] - inter
+        shape_iou = inter / np.maximum(union, 1e-10)
+        for b in np.argsort(-shape_iou, kind="stable"):
+            if label[y_ind, x_ind, b, 0] == 0:
+                label[y_ind, x_ind, b, 0] = 1
+                label[y_ind, x_ind, b, 1:5] = boxes
+                label[y_ind, x_ind, b, 5 + cls_ind] = 1
+                break
+    return label
+
+
 class PascalVOC:
     """VOC2007 imdb with YOLO grid labels."""
 
@@ -78,6 +113,9 @@ class PascalVOC:
         self.classes = VOC_CLASSES
         self.num_class = len(self.classes)
         self.class_to_ind = {c: i for i, c in enumerate(self.classes)}
+        # anchor-head configs get the per-slot multi-object label grid
+        # (S, S, B, 5+C) — see build_label_grid_v2
+        self.per_slot = bool(yolo.per_slot_classes and yolo.anchors)
         self.image_set = image_set
         self.rebuild = rebuild
         self.flipped = flipped
@@ -117,9 +155,10 @@ class PascalVOC:
         entries = self._next_entries(self.batch_size)
         images = np.zeros(
             (self.batch_size, self.image_size, self.image_size, 3), np.float32)
-        labels = np.zeros(
-            (self.batch_size, self.cell_size, self.cell_size,
-             5 + self.num_class), np.float32)
+        grid_shape = ((self.cell_size, self.cell_size, self.yolo.B,
+                       5 + self.num_class) if self.per_slot else
+                      (self.cell_size, self.cell_size, 5 + self.num_class))
+        labels = np.zeros((self.batch_size,) + grid_shape, np.float32)
         for count, entry in enumerate(entries):
             images[count] = image_read(entry["imname"], self.image_size,
                                        flipped=entry["flipped"])
@@ -136,11 +175,14 @@ class PascalVOC:
             gt_flip = copy.deepcopy(gt_labels)
             for entry in gt_flip:
                 entry["flipped"] = True
-                entry["label"] = entry["label"][:, ::-1, :]
-                resp = entry["label"][:, :, 0] == 1
-                entry["label"][:, :, 1] = np.where(
-                    resp, self.image_size - 1 - entry["label"][:, :, 1],
-                    entry["label"][:, :, 1])
+                # mirror the grid along x; works for both the (S, S, 5+C)
+                # and the per-slot (S, S, B, 5+C) layouts (anchor slot
+                # assignment is shape-only, so it survives the flip)
+                entry["label"] = entry["label"][:, ::-1]
+                resp = entry["label"][..., 0] == 1
+                entry["label"][..., 1] = np.where(
+                    resp, self.image_size - 1 - entry["label"][..., 1],
+                    entry["label"][..., 1])
             gt_labels = gt_labels + gt_flip
         np.random.shuffle(gt_labels)
         self.gt_labels = gt_labels
@@ -152,6 +194,8 @@ class PascalVOC:
         # the default keeps the reference filename (pascal_voc.py:90)
         scale_tag = ("" if (self.image_size, self.cell_size) == (224, 7)
                      else f"_{self.image_size}x{self.cell_size}")
+        if self.per_slot:
+            scale_tag += f"_slots{self.yolo.B}"
         cache_file = os.path.join(
             self.cache_path,
             f"pascal_{self.image_set}_gt_labels{scale_tag}.pkl")
@@ -205,8 +249,14 @@ class PascalVOC:
             corners.append((x1, y1, x2, y2))
             cls_inds.append(
                 self.class_to_ind[obj.find("name").text.lower().strip()])
-        label = build_label_grid(
-            np.asarray(corners, np.float32).reshape(-1, 4),
-            np.asarray(cls_inds, np.int32), self.cell_size, self.num_class,
-            float(self.image_size))
+        corners_arr = np.asarray(corners, np.float32).reshape(-1, 4)
+        cls_arr = np.asarray(cls_inds, np.int32)
+        if self.per_slot:
+            label = build_label_grid_v2(
+                corners_arr, cls_arr, self.cell_size, self.yolo.B,
+                self.yolo.anchors, self.num_class, float(self.image_size))
+        else:
+            label = build_label_grid(
+                corners_arr, cls_arr, self.cell_size, self.num_class,
+                float(self.image_size))
         return label, len(objs)

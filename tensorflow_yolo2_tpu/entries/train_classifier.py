@@ -182,6 +182,14 @@ def main(argv: list[str] | None = None) -> int:
     if args.labels_offset:
         def get_batch(_get=imdb.get, _off=args.labels_offset):
             images, labels = _get()
+            if (labels < _off).any():
+                # fail loudly: a shifted label < 0 would wrap to the last
+                # class in the integer-label CE (silently diverging from
+                # slim's one_hot(-1)=zeros zero-loss behavior)
+                raise ValueError(
+                    f"--labels-offset {_off}: batch contains labels below "
+                    f"the offset (min {int(labels.min())}); this dataset "
+                    "has no background slot to strip")
             return images, labels - _off
 
     state = common.run_train_loop(

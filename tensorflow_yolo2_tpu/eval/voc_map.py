@@ -85,9 +85,14 @@ class VocMapEvaluator:
     def add_label_grid(self, image_id: int, det_boxes, det_scores,
                        det_classes, label_grid: np.ndarray,
                        image_size: int) -> None:
-        """Convenience: pull GT from a (S, S, 5+C) YOLO label grid; the
-        stored pixel cxcywh (pascal_voc label layout) is converted to
-        [0, 1] corners to match decoded detections."""
+        """Convenience: pull GT from a (S, S, 5+C) YOLO label grid — or
+        the per-slot (S, S, B, 5+C) anchor-mode grid, every responsible
+        slot contributing one object; the stored pixel cxcywh
+        (pascal_voc label layout) is converted to [0, 1] corners to
+        match decoded detections."""
+        if label_grid.ndim == 4:  # per-slot: flatten slots into cells
+            label_grid = label_grid.reshape(
+                label_grid.shape[0], -1, label_grid.shape[-1])
         resp = label_grid[..., 0] > 0
         ys, xs = np.nonzero(resp)
         gt_boxes, gt_classes = [], []

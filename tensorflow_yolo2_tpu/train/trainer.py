@@ -26,6 +26,7 @@ HBM (no params-sized extra allocation).
 from __future__ import annotations
 
 import functools
+import inspect
 from typing import Any, Callable, Mapping, Optional
 
 import flax.struct
@@ -151,6 +152,14 @@ class Trainer:
         moving_average_decay eval restore)."""
         self.model = model
         self.task = task
+        # schedule-aware tasks (e.g. the YOLO9000 burn-in prior in
+        # losses.yolo_v2) take the optimizer step as a kwarg; thread it
+        # through from the train state when the signature asks for it
+        try:
+            self._task_takes_step = (
+                "step" in inspect.signature(task).parameters)
+        except (TypeError, ValueError):
+            self._task_takes_step = False
         self.opt_cfg = opt_cfg
         self._tx_factory = tx_factory
         self.mesh = mesh if mesh is not None else make_mesh()
@@ -241,10 +250,12 @@ class Trainer:
 
         act_summaries = self._act_summaries
         model = self.model
+        takes_step = self._task_takes_step
 
         def step(state: TrainState, images: jnp.ndarray,
                  labels: jnp.ndarray):
             step_rng, next_rng = jax.random.split(state.rng)
+            task_kw = {"step": state.step} if takes_step else {}
 
             def loss_fn(params):
                 if act_summaries:
@@ -262,7 +273,7 @@ class Trainer:
                         capture_intermediates=lambda mdl, m:
                             m == "__call__" and len(mdl.path) == 1)
                     new_stats = mut.get("batch_stats", state.batch_stats)
-                    loss, metrics = self.task(outputs, labels)
+                    loss, metrics = self.task(outputs, labels, **task_kw)
                     for name, sub in mut.get("intermediates", {}).items():
                         out = sub.get("__call__", (None,))[0]
                         if not hasattr(out, "ndim"):
@@ -276,7 +287,7 @@ class Trainer:
                     return loss, (new_stats, metrics)
                 outputs, new_stats = apply(
                     params, state.batch_stats, images, True, step_rng)
-                loss, metrics = self.task(outputs, labels)
+                loss, metrics = self.task(outputs, labels, **task_kw)
                 return loss, (new_stats, metrics)
 
             grads, (new_stats, metrics) = jax.grad(

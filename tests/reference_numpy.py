@@ -120,3 +120,115 @@ def np_nms(dets, iou_thresh: float = 0.5, class_aware: bool = True):
         if ok:
             kept.append(d)
     return kept
+
+
+def np_sigmoid(x):
+    return 1.0 / (1.0 + np.exp(-x))
+
+
+def np_yolo_v2_loss(net: np.ndarray, labels: np.ndarray, cfg,
+                    step: int | None = None):
+    """Scalar YOLOv2/9000 anchor loss + per-term dict, written loop-style
+    straight from the darknet region-loss semantics (anchor owner by shape
+    IoU, sigmoid-xy/log-wh coord targets with optional (2−wh) scale, live
+    IoU objectness, noobj ignore threshold over all gt boxes, burn-in
+    prior regression on non-owner slots). Accepts the legacy
+    (b, S, S, 5+C) grid or the per-slot (b, S, S, B, 5+C) grid."""
+    S, B, C = cfg.S, cfg.B, cfg.num_class
+    anchors = np.asarray(cfg.anchors, np.float32)
+    batch = net.shape[0]
+    slots = net.astype(np.float64).reshape(batch, S, S, B, 5 + C)
+
+    # per-image gt list: (y, x, b_slot or None, cxcywh in [0,1], cls)
+    gts = [[] for _ in range(batch)]
+    for i in range(batch):
+        if labels.ndim == 4:
+            for y in range(S):
+                for x in range(S):
+                    if labels[i, y, x, 0] != 1:
+                        continue
+                    box = labels[i, y, x, 1:5] / cfg.image_size
+                    wh = box[2:4] * S
+                    best, best_iou = 0, -1.0
+                    for b in range(B):
+                        inter = (min(anchors[b, 0], wh[0]) *
+                                 min(anchors[b, 1], wh[1]))
+                        union = (anchors[b, 0] * anchors[b, 1] +
+                                 wh[0] * wh[1] - inter)
+                        iou = inter / max(union, 1e-10)
+                        if iou > best_iou:
+                            best, best_iou = b, iou
+                    cls = int(np.argmax(labels[i, y, x, 5:]))
+                    gts[i].append((y, x, best, box, cls))
+        else:
+            for y in range(S):
+                for x in range(S):
+                    for b in range(B):
+                        if labels[i, y, x, b, 0] != 1:
+                            continue
+                        box = labels[i, y, x, b, 1:5] / cfg.image_size
+                        cls = int(np.argmax(labels[i, y, x, b, 5:]))
+                        gts[i].append((y, x, b, box, cls))
+
+    owner = np.zeros((batch, S, S, B))
+    coord = obj = 0.0
+    cls_loss = 0.0
+    # decode every slot
+    dec = np.zeros((batch, S, S, B, 4))
+    for y in range(S):
+        for x in range(S):
+            for b in range(B):
+                t = slots[:, y, x, b]
+                dec[:, y, x, b, 0] = (np_sigmoid(t[:, 0]) + x) / S
+                dec[:, y, x, b, 1] = (np_sigmoid(t[:, 1]) + y) / S
+                dec[:, y, x, b, 2] = anchors[b, 0] * np.exp(
+                    np.clip(t[:, 2], -8, 8)) / S
+                dec[:, y, x, b, 3] = anchors[b, 1] * np.exp(
+                    np.clip(t[:, 3], -8, 8)) / S
+
+    for i in range(batch):
+        for (y, x, b, box, cls) in gts[i]:
+            owner[i, y, x, b] = 1
+            t = slots[i, y, x, b]
+            wh_cells = np.maximum(box[2:4] * S, 1e-6)
+            d = ((np_sigmoid(t[0]) - (box[0] * S - x)) ** 2 +
+                 (np_sigmoid(t[1]) - (box[1] * S - y)) ** 2 +
+                 (t[2] - np.log(wh_cells[0] / anchors[b, 0])) ** 2 +
+                 (t[3] - np.log(wh_cells[1] / anchors[b, 1])) ** 2)
+            if cfg.v2_coord_scale:
+                d *= 2.0 - box[2] * box[3]
+            coord += cfg.lambda_coord * d
+            iou = np_iou_cxcywh(dec[i, y, x, b], np.asarray(box))
+            obj += (np_sigmoid(t[4]) - iou) ** 2
+            p = np.exp(t[5:] - t[5:].max())
+            p = p / p.sum()
+            cls_loss += -np.log(max(p[cls], 1e-30))
+
+    noobj = 0.0
+    burnin = 0.0
+    seen = None if step is None else step * batch
+    burnin_on = (seen is not None and cfg.v2_prior_weight > 0 and
+                 seen < cfg.v2_burnin_samples)
+    for i in range(batch):
+        gt_boxes = np.asarray([g[3] for g in gts[i]]).reshape(-1, 4)
+        for y in range(S):
+            for x in range(S):
+                for b in range(B):
+                    if owner[i, y, x, b]:
+                        continue
+                    t = slots[i, y, x, b]
+                    if burnin_on:
+                        burnin += cfg.v2_prior_weight * (
+                            (np_sigmoid(t[0]) - 0.5) ** 2 +
+                            (np_sigmoid(t[1]) - 0.5) ** 2 +
+                            t[2] ** 2 + t[3] ** 2)
+                    if cfg.v2_ignore_iou < 1.0 and len(gt_boxes):
+                        best = max(float(np_iou_cxcywh(
+                            dec[i, y, x, b], g)) for g in gt_boxes)
+                        if best > cfg.v2_ignore_iou:
+                            continue
+                    noobj += cfg.lambda_noobj * np_sigmoid(t[4]) ** 2
+    terms = {"coord_loss": coord / batch, "object_loss": obj / batch,
+             "noobject_loss": noobj / batch, "class_loss": cls_loss / batch,
+             "burnin_loss": burnin / batch}
+    return sum(terms.values()), terms

@@ -220,3 +220,23 @@ def test_detect_fn_int8_smoke(v1_setup):
     with pytest.raises(ValueError, match="calib_images"):
         make_detect_fn(yolo, variables["params"],
                        variables["batch_stats"], int8=True)
+
+
+@pytest.mark.tpu
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="needs the real TPU backend")
+def test_forward_int8_uint8_matches_normalized_on_tpu(v1_setup):
+    """TPU twin of the uint8-transfer equality test (advisor r2): the
+    device-side (x/255)·2−1 must match host normalization bit-exactly on
+    the compiled XLA:TPU graph too, not just on CPU — this is where the
+    forward_int8 docstring's 'identical to normalizing on the host'
+    claim actually matters."""
+    yolo, fmodel, folded, _ = v1_setup
+    u8 = np.random.RandomState(1).randint(
+        0, 256, (2, _IMG, _IMG, 3)).astype(np.uint8)
+    normed = (u8.astype(np.float32) / 255.0) * 2.0 - 1.0
+    scales = calibrate(folded, jnp.asarray(normed))
+    layers = quantize_folded(folded, scales)
+    out_u8 = np.asarray(jax.jit(forward_int8)(layers, jnp.asarray(u8)))
+    out_f32 = np.asarray(jax.jit(forward_int8)(layers, jnp.asarray(normed)))
+    np.testing.assert_array_equal(out_u8, out_f32)

@@ -217,6 +217,9 @@ def _torch_yolo_v2_loss(net_t, labels_t, cfg):
     coord_sq = ((sx - tx_target) ** 2 + (sy - ty_target) ** 2 +
                 (boxes[..., 2] - tw_target) ** 2 +
                 (boxes[..., 3] - th_target) ** 2)
+    if cfg.v2_coord_scale:
+        # darknet (2 − w·h) small-object coord upweighting
+        coord_sq = coord_sq * (2.0 - (gt[..., 2] * gt[..., 3]).unsqueeze(-1))
     coord = cfg.lambda_coord * (owner * coord_sq).sum(
         dim=(1, 2, 3)).mean()
 
@@ -238,7 +241,31 @@ def _torch_yolo_v2_loss(net_t, labels_t, cfg):
 
     sconf = torch.sigmoid(conf)
     obj = (owner * (sconf - ious.detach()) ** 2).sum(dim=(1, 2, 3)).mean()
-    noobj = cfg.lambda_noobj * ((1.0 - owner) * sconf ** 2).sum(
+    # darknet noobj ignore threshold: a non-owner slot overlapping ANY
+    # gt box above v2_ignore_iou is exempt from suppression
+    noobj_mask = 1.0 - owner
+    if cfg.v2_ignore_iou < 1.0:
+        bsz = labels_t.shape[0]
+        dec = torch.stack([xs - ws / 2, ys - hs / 2,
+                           xs + ws / 2, ys + hs / 2], -1).reshape(bsz, -1, 4)
+        gt_slot = gt.unsqueeze(-2).expand(-1, -1, -1, B, -1)
+        gt_all = gt_slot.reshape(bsz, -1, 4)
+        g_c = torch.cat([gt_all[..., :2] - gt_all[..., 2:] / 2,
+                         gt_all[..., :2] + gt_all[..., 2:] / 2], -1)
+        lu = torch.maximum(dec[:, :, None, :2], g_c[:, None, :, :2])
+        rd = torch.minimum(dec[:, :, None, 2:], g_c[:, None, :, 2:])
+        iwh = (rd - lu).clamp_min(0)
+        inter_p = iwh[..., 0] * iwh[..., 1]
+        a1 = ((dec[..., 2] - dec[..., 0]) *
+              (dec[..., 3] - dec[..., 1])).unsqueeze(-1)
+        a2 = ((g_c[..., 2] - g_c[..., 0]) *
+              (g_c[..., 3] - g_c[..., 1])).unsqueeze(-2)
+        pair = (inter_p / (a1 + a2 - inter_p).clamp_min(1e-10)).clamp(0, 1)
+        valid = owner.reshape(bsz, 1, -1)
+        best_any = (pair * valid).max(-1).values.reshape(owner.shape)
+        noobj_mask = noobj_mask * (
+            best_any.detach() <= cfg.v2_ignore_iou).float()
+    noobj = cfg.lambda_noobj * (noobj_mask * sconf ** 2).sum(
         dim=(1, 2, 3)).mean()
 
     lsm = F.log_softmax(cls_logits, dim=-1)
