@@ -33,6 +33,9 @@ _IMAGE = 448
 # 128→3764, 256→3856; re-measured same-session 128→3565 vs 256→3695
 _BATCH = int(os.environ.get("BENCH_BATCH", "256"))
 _STEPS = int(os.environ.get("BENCH_STEPS", "20"))
+# repeated measurements: the tunnel drifts run-to-run, so the headline is
+# a median over BENCH_REPEATS interleaved samples with min/max reported
+_REPEATS = int(os.environ.get("BENCH_REPEATS", "3"))
 # BENCH_INT8=1 serves the post-training-quantized chain (ops.quant):
 # int8×int8→int32 convs on the MXU (2× bf16 peak on v5e), int8 tensors
 # between layers. Accuracy parity evidence: benchmarks/int8_quality.py.
@@ -65,6 +68,8 @@ def measure_tpu() -> dict:
         -1, 1, (_BATCH, _IMAGE, _IMAGE, 3)), jnp.float32)
     images = jax.device_put(images)
 
+    from tensorflow_yolo2_tpu.ops.pallas_decode import decode_grid_pallas
+
     if _INT8:
         from tensorflow_yolo2_tpu.ops.quant import (
             calibrate,
@@ -75,16 +80,23 @@ def measure_tpu() -> dict:
         scales = calibrate(folded, images[:8])
         folded = jax.device_put(quantize_folded(folded, scales))
 
-        @jax.jit
-        def forward(qlayers, images):
-            grid = forward_int8(qlayers, images)
-            return decode_nms_pallas(grid, yolo, 0.5, 0.5, max_outputs=32)
+        def _grid(params, images):
+            return forward_int8(params, images)
     else:
-        @jax.jit
-        def forward(params, images):
-            grid = fmodel.apply({"params": params}, images, train=False)
-            # fused Pallas decode + class-aware NMS (the flagship kernel)
-            return decode_nms_pallas(grid, yolo, 0.5, 0.5, max_outputs=32)
+        def _grid(params, images):
+            return fmodel.apply({"params": params}, images, train=False)
+
+    @jax.jit
+    def forward(params, images):
+        # fused Pallas decode + class-aware NMS (the flagship kernel)
+        return decode_nms_pallas(_grid(params, images), yolo, 0.5, 0.5,
+                                 max_outputs=32)
+
+    @jax.jit
+    def forward_decode_only(params, images):
+        # same pipeline minus the in-kernel NMS sweep — reported
+        # separately so NMS cost and tunnel drift are attributable
+        return decode_grid_pallas(_grid(params, images), yolo, 0.5)
 
     def run(batch):
         # Force real completion with a host fetch of the (tiny) scores
@@ -93,18 +105,27 @@ def measure_tpu() -> dict:
         out = forward(folded, batch)
         return np.asarray(out.scores)
 
+    def _throughput(fn):
+        # Steady-state: dispatch the whole chain (device executes
+        # serially), fetch once at the end so the tunnel round-trip
+        # amortizes across steps — serving overlaps fetches the same way.
+        t0 = time.perf_counter()
+        outs = [fn(folded, images) for _ in range(_STEPS)]
+        np.asarray(outs[-1].scores)
+        dt = (time.perf_counter() - t0) / _STEPS
+        del outs
+        return _BATCH / dt
+
     run(images)  # compile + warm
+    np.asarray(forward_decode_only(folded, images).scores)
     run(images)
 
-    # Steady-state throughput: dispatch the whole chain (device executes
-    # serially), fetch once at the end so the tunnel round-trip amortizes
-    # across steps — the serving pipeline overlaps fetches the same way.
-    t0 = time.perf_counter()
-    outs = [forward(folded, images) for _ in range(_STEPS)]
-    np.asarray(outs[-1].scores)
-    dt = (time.perf_counter() - t0) / _STEPS
-    del outs
-    ips = _BATCH / dt
+    # interleave the repeats so drift shows up in both paths alike
+    nms_ips, dec_ips = [], []
+    for _ in range(max(1, _REPEATS)):
+        nms_ips.append(_throughput(forward))
+        dec_ips.append(_throughput(forward_decode_only))
+    ips = float(np.median(nms_ips))
 
     # p50 single-image latency, two views: the full host round trip
     # (includes the axon tunnel RTT) and the device-side step amortized
@@ -122,7 +143,14 @@ def measure_tpu() -> dict:
     outs = [forward(folded, one) for _ in range(chain)]
     np.asarray(outs[-1].scores)
     device_ms = (time.perf_counter() - t0) / chain * 1000
-    return {"images_per_sec": ips, "p50_ms": p50_ms,
+    return {"images_per_sec": ips,
+            "images_per_sec_min": float(np.min(nms_ips)),
+            "images_per_sec_max": float(np.max(nms_ips)),
+            "decode_only_images_per_sec": float(np.median(dec_ips)),
+            "decode_only_min": float(np.min(dec_ips)),
+            "decode_only_max": float(np.max(dec_ips)),
+            "repeats": max(1, _REPEATS),
+            "p50_ms": p50_ms,
             "device_latency_ms": device_ms, "int8": _INT8,
             "batch": _BATCH, "backend": jax.default_backend()}
 
@@ -233,6 +261,13 @@ def main() -> int:
         "value": round(result["images_per_sec"], 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(vs, 2) if vs else None,
+        "value_min": round(result["images_per_sec_min"], 2),
+        "value_max": round(result["images_per_sec_max"], 2),
+        "repeats": result["repeats"],
+        "decode_only_median": round(
+            result["decode_only_images_per_sec"], 2),
+        "decode_only_min": round(result["decode_only_min"], 2),
+        "decode_only_max": round(result["decode_only_max"], 2),
         "p50_single_image_ms": round(result["p50_ms"], 3),
         "device_single_image_ms": round(result["device_latency_ms"], 3),
         "batch": result["batch"],

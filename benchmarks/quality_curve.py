@@ -108,11 +108,17 @@ def main() -> None:
         # (warm-start by variable intersection, the net_utils.py:81-101
         # path); nothing else to wire
 
+    from tensorflow_yolo2_tpu.config import yolo_v2_config
     if args.v2:
-        from tensorflow_yolo2_tpu.config import yolo_v2_config
         yolo = yolo_v2_config()
     else:
         yolo = YoloConfig()
+    # Evaluation ground truth is pulled from the eval imdb's label grid.
+    # Use the per-slot (multi-object) grid for GT in BOTH modes so the
+    # mAP denominator counts every annotated object — the v1 one-object-
+    # per-cell grid would silently drop cell-overflow objects from GT and
+    # flatter the score.
+    eval_gt_yolo = yolo if args.v2 else yolo_v2_config(yolo.image_size)
     rows = []
     done = 0
     for stage in stages:
@@ -138,8 +144,8 @@ def main() -> None:
                                 v2=args.v2)
         row = {"iters": stage}
         for split, set_name in (("train", "trainval"), ("val", "test")):
-            imdb = PascalVOC(set_name, batch_size=8, yolo=yolo)
-            mAP, _ = run_eval(detect, imdb, yolo,
+            imdb = PascalVOC(set_name, batch_size=8, yolo=eval_gt_yolo)
+            mAP, _ = run_eval(detect, imdb, eval_gt_yolo,
                               max_images=args.eval_max_images)
             row[f"map_{split}"] = round(float(mAP), 4)
         rows.append(row)

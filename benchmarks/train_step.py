@@ -36,6 +36,11 @@ def main() -> None:
     ap.add_argument("--size", type=int, default=224,
                     help="input resolution (multiple of 32, >= 128)")
     ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--downsample", default="pool",
+                    choices=["pool", "stride"],
+                    help="'stride' = pool-free stride-2-conv variant "
+                         "(no SelectAndScatter pool gradients; non-parity "
+                         "train-perf lever)")
     args = ap.parse_args()
     batch, size, remat = args.batch, args.size, args.remat
     if size % 32 or size < 128:
@@ -43,7 +48,8 @@ def main() -> None:
     steps = 12
     yolo = YoloConfig(S=size // 32, image_size=size)
     model = Darknet19Detector(output_channels=yolo.cell_channels,
-                              dtype=jnp.bfloat16)
+                              dtype=jnp.bfloat16,
+                              downsample=args.downsample)
     trainer = Trainer(
         model, yolo_task(yolo),
         OptimizerConfig(name="adam",
@@ -71,7 +77,8 @@ def main() -> None:
         state, m = trainer.train_step(state, di, dl)
     float(np.asarray(m["loss"]))                  # force the chain
     dt = (time.perf_counter() - t0) / steps
-    print(f"train step {size}² batch {batch} remat={remat}: "
+    print(f"train step {size}² batch {batch} remat={remat} "
+          f"downsample={args.downsample}: "
           f"{dt * 1e3:.2f} ms/step, {batch / dt:.0f} img/s")
 
 

@@ -47,12 +47,15 @@ def load_detector_params(yolo: YoloConfig, tf_checkpoint: str | None = None,
     newest Orbax snapshot (the reference's fallback order, :50-60).
 
     The implicit weights/darknet19_pascal.ckpt default only applies to
-    the v1 head it was trained for — a v2 (per-slot) network must not
-    silently shadow its own snapshot with shape-incompatible v1 weights.
+    the plain v1 network it was trained for — a v2 (per-slot) network
+    must not silently shadow its own snapshot with shape-incompatible v1
+    weights, and a stride-downsample ("_sd") network must not adopt
+    pool-trained weights (same shapes, different semantics).
     """
     paths = paths or Paths()
     tf_path = tf_checkpoint
-    if tf_path is None and not yolo.per_slot_classes:
+    if tf_path is None and not yolo.per_slot_classes \
+            and network_name == "darknet19":
         tf_path = os.path.join(paths.weights, "darknet19_pascal.ckpt")
     if tf_path is not None and (
             os.path.exists(tf_path + ".index") or os.path.exists(tf_path)):
@@ -74,7 +77,7 @@ def make_detect_fn(yolo: YoloConfig, params, batch_stats,
                    nms_iou: float = 0.5, fold_bn: bool = True,
                    dtype=jnp.bfloat16, v2: bool = False,
                    int8: bool = False, calib_images=None,
-                   passthrough: bool = False):
+                   passthrough: bool = False, downsample: str = "pool"):
     """Build the jitted image→detections function (batched).
 
     ``v2`` selects the anchor head layout + decode (sigmoid-xy/exp-wh,
@@ -119,10 +122,12 @@ def make_detect_fn(yolo: YoloConfig, params, batch_stats,
     def build_model(folded: bool):
         if passthrough:
             return Darknet19DetectorV2(output_channels=yolo.cell_channels,
-                                       fold_bn=folded, dtype=dtype)
+                                       fold_bn=folded, dtype=dtype,
+                                       downsample=downsample)
         return Darknet19Detector(output_channels=yolo.cell_channels,
                                  bn_on_output=bn_on_output,
-                                 fold_bn=folded, dtype=dtype)
+                                 fold_bn=folded, dtype=dtype,
+                                 downsample=downsample)
 
     if fold_bn and batch_stats:
         variables = {"params": fold_params(params, batch_stats)}
@@ -242,6 +247,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--passthrough", action="store_true",
                    help="full YOLOv2 architecture: reorg/passthrough head "
                         "(pascal_train_darknet --v2 --passthrough)")
+    p.add_argument("--downsample", default="pool",
+                   choices=["pool", "stride"],
+                   help="'stride' serves snapshots trained with "
+                        "pascal_train_darknet --downsample stride (the "
+                        "pool-free train-perf variant; separate "
+                        "<net>_sd snapshot dirs)")
     p.add_argument("--image-size", type=int, default=224,
                    help="multiscale input (multiple of 32); the net is "
                         "fully convolutional, the grid scales to S=size/32 "
@@ -270,10 +281,15 @@ def main(argv: list[str] | None = None) -> int:
     if args.passthrough and (args.int8 or args.int8_weights):
         p.error("int8 serving does not cover the passthrough head's "
                 "concat route yet")
+    if args.downsample == "stride" and (args.int8 or args.int8_weights):
+        p.error("int8 serving covers the pool-based parity chain "
+                "(ops.quant layer plan); the stride variant is bf16-only")
+    sd = "_sd" if args.downsample == "stride" else ""
     if args.v2:
         from tensorflow_yolo2_tpu.config import yolo_v2_config
         yolo = yolo_v2_config(args.image_size)
-        net_name = "darknet19_v2p" if args.passthrough else "darknet19_v2"
+        net_name = ("darknet19_v2p" if args.passthrough
+                    else "darknet19_v2") + sd
         params, stats = (None, None) if args.int8_weights else \
             load_detector_params(
                 yolo, args.tf_checkpoint, network_name=net_name)
@@ -281,7 +297,8 @@ def main(argv: list[str] | None = None) -> int:
         yolo = YoloConfig(S=args.image_size // 32,
                           image_size=args.image_size)
         params, stats = (None, None) if args.int8_weights else \
-            load_detector_params(yolo, args.tf_checkpoint)
+            load_detector_params(yolo, args.tf_checkpoint,
+                                 network_name="darknet19" + sd)
     image = image_read(args.image, yolo.image_size)  # BGR, [-1, 1]
     use_nms = args.nms and not args.host_nms
     if args.int8_weights:
@@ -311,7 +328,8 @@ def main(argv: list[str] | None = None) -> int:
         detect = make_detect_fn(yolo, params, stats, args.threshold,
                                 use_nms=use_nms,
                                 fold_bn=not args.no_fold_bn, v2=args.v2,
-                                passthrough=args.passthrough)
+                                passthrough=args.passthrough,
+                                downsample=args.downsample)
     dets = detect(image[None])
     boxes = np.asarray(dets.boxes[0])
     scores = np.asarray(dets.scores[0])

@@ -46,6 +46,13 @@ def main(argv: list[str] | None = None) -> int:
                         "cycle every 10 batches during --v2 training "
                         "(YOLO9000 multiscale; TPU-friendly static-shape "
                         "bucketing — one compiled step per size)")
+    p.add_argument("--downsample", default="pool",
+                   choices=["pool", "stride"],
+                   help="'stride' = pool-free variant: downsampling via "
+                        "stride-2 convs instead of maxpools — removes the "
+                        "SelectAndScatter pool gradients (~23%% of the "
+                        "448² step). NOT reference parity; snapshots go "
+                        "to separate <net>_sd dirs")
     p.add_argument("--bn-momentum", type=float, default=0.99,
                    help="BatchNorm moving-stat momentum (reference "
                         "tf.layers default 0.99; lower it for short "
@@ -77,21 +84,26 @@ def main(argv: list[str] | None = None) -> int:
             )
             model = Darknet19DetectorV2(output_channels=yolo.cell_channels,
                                         dtype=dtype,
-                                        bn_momentum=args.bn_momentum)
+                                        bn_momentum=args.bn_momentum,
+                                        downsample=args.downsample)
             net_name = "darknet19_v2p"
         else:
             # the anchor head wants a linear output (no BN+leaky quirk)
             model = Darknet19Detector(output_channels=yolo.cell_channels,
                                       bn_on_output=False, dtype=dtype,
-                                      bn_momentum=args.bn_momentum)
+                                      bn_momentum=args.bn_momentum,
+                                      downsample=args.downsample)
             net_name = "darknet19_v2"
     else:
         yolo = YoloConfig()
         task = yolo_task(yolo, histograms=True)
         model = Darknet19Detector(output_channels=yolo.cell_channels,
                                   dtype=dtype,
-                                  bn_momentum=args.bn_momentum)
+                                  bn_momentum=args.bn_momentum,
+                                  downsample=args.downsample)
         net_name = "darknet19"
+    if args.downsample == "stride":
+        net_name += "_sd"  # keep non-parity runs out of the parity dirs
     imdb = PascalVOC(args.image_set, batch_size=batch_size, yolo=yolo,
                      flipped=args.flipped, data_path=args.data_path)
     get_batch = imdb.get

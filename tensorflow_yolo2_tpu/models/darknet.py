@@ -61,33 +61,48 @@ class Darknet19Backbone(nn.Module):
     # Inference fast path: construct with BN folded into the conv weights
     # (see models.fold.fold_params) — BN params vanish from the tree.
     fold_bn: bool = False
+    # "pool" = reference parity (2×2/2 maxpool between stages). "stride"
+    # = train-perf variant: each downsample is absorbed as stride 2 on
+    # the following 3×3 conv — removes the five SelectAndScatter maxpool
+    # gradients (~23% of the 448² train step, README wall analysis) at
+    # identical parameter shapes (warm-starts intersect fully), but it is
+    # NOT architecture-parity with the reference.
+    downsample: str = "pool"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False,
                  return_mid: bool = False):
         """``return_mid=True`` additionally returns the (H/16, W/16, 512)
-        feature map feeding the last maxpool — the YOLO9000 passthrough
-        source (the paper's "fine-grained features" route from the
-        26×26×512 layer at 416² input)."""
+        feature map feeding the last downsample — the YOLO9000
+        passthrough source (the paper's "fine-grained features" route
+        from the 26×26×512 layer at 416² input)."""
+        assert self.downsample in ("pool", "stride"), self.downsample
         conv_i = 0
         pool_i = 0
         n_pools = sum(1 for item in _DARKNET19_SCHEDULE if item == "M")
         mid = None
+        pending_stride = False
         for item in _DARKNET19_SCHEDULE:
             if item == "M":
                 pool_i += 1
                 if pool_i == n_pools:
                     mid = x
-                x = max_pool(x, 2, 2)
+                if self.downsample == "pool":
+                    x = max_pool(x, 2, 2)
+                else:
+                    pending_stride = True  # every "M" precedes a 3×3 conv
             else:
                 k, f = item
                 conv_i += 1
-                x = ConvBN(f, kernel_size=k, use_bn=not self.fold_bn,
+                x = ConvBN(f, kernel_size=k,
+                           strides=2 if pending_stride else 1,
+                           use_bn=not self.fold_bn,
                            dtype=self.dtype,
                            param_dtype=self.param_dtype,
                            bn_axis_name=self.bn_axis_name,
                            bn_momentum=self.bn_momentum,
                            name=f"conv{conv_i}")(x, train=train)
+                pending_stride = False
         if return_mid:
             return x, mid
         return x
@@ -112,6 +127,7 @@ class Darknet19Classifier(nn.Module):
     # Inference fast path: construct with BN folded into the conv weights
     # (see models.fold.fold_params) — BN params vanish from the tree.
     fold_bn: bool = False
+    downsample: str = "pool"  # see Darknet19Backbone.downsample
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -119,6 +135,7 @@ class Darknet19Classifier(nn.Module):
                               bn_axis_name=self.bn_axis_name,
                               bn_momentum=self.bn_momentum,
                               fold_bn=self.fold_bn,
+                              downsample=self.downsample,
                               name="backbone")(x, train=train)
         x = ConvBN(self.num_classes, kernel_size=1,
                    use_bn=self.bn_on_output and not self.fold_bn,
@@ -185,6 +202,7 @@ class Darknet19Detector(nn.Module):
     # Inference fast path: construct with BN folded into the conv weights
     # (see models.fold.fold_params) — BN params vanish from the tree.
     fold_bn: bool = False
+    downsample: str = "pool"  # see Darknet19Backbone.downsample
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -192,6 +210,7 @@ class Darknet19Detector(nn.Module):
                               bn_axis_name=self.bn_axis_name,
                               bn_momentum=self.bn_momentum,
                               fold_bn=self.fold_bn,
+                              downsample=self.downsample,
                               name="backbone")(x, train=train)
         x = DetectionHead(output_channels=self.output_channels,
                           bn_on_output=self.bn_on_output,
@@ -266,6 +285,7 @@ class Darknet19DetectorV2(nn.Module):
     # Inference fast path: construct with BN folded into the conv weights
     # (see models.fold.fold_params) — BN params vanish from the tree.
     fold_bn: bool = False
+    downsample: str = "pool"  # see Darknet19Backbone.downsample
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -274,6 +294,7 @@ class Darknet19DetectorV2(nn.Module):
                                    bn_axis_name=self.bn_axis_name,
                                    bn_momentum=self.bn_momentum,
                                    fold_bn=self.fold_bn,
+                                   downsample=self.downsample,
                                    name="backbone")(x, train=train,
                                                     return_mid=True)
         x = DetectionHeadV2(output_channels=self.output_channels,
