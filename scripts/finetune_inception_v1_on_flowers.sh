@@ -11,15 +11,15 @@ SIZE="${IMAGE_SIZE:-96}"  # 224 for real runs; small default keeps the
                           # synthetic-smoke recipe fast on 1 CPU core
 
 python -m tensorflow_yolo2_tpu.entries.train_classifier \
-  --model-name inception_v1 --dataset-name flowers --image-size "$SIZE" \
+  --model-name inception_v1 --preprocessing-name inception_v1 --dataset-name flowers --image-size "$SIZE" \
   --iters 300 --batch-size 16 --optimizer rmsprop --learning-rate 0.01 \
   --trainable-scopes logits \
   ${CKPT:+--checkpoint-path "$CKPT" --checkpoint-exclude-scopes logits}
 
 python -m tensorflow_yolo2_tpu.entries.train_classifier \
-  --model-name inception_v1 --dataset-name flowers --image-size "$SIZE" \
+  --model-name inception_v1 --preprocessing-name inception_v1 --dataset-name flowers --image-size "$SIZE" \
   --iters 150 --batch-size 16 --optimizer rmsprop --learning-rate 0.0001
 
 python -m tensorflow_yolo2_tpu.entries.eval_classifier \
-  --model-name inception_v1 --dataset-name flowers --image-size "$SIZE" \
+  --model-name inception_v1 --preprocessing-name inception_v1 --dataset-name flowers --image-size "$SIZE" \
   --max-batches 8

@@ -13,15 +13,15 @@ SIZE="${IMAGE_SIZE:-160}"  # 299 for real runs; the VALID stem needs
                            # >=160; small default keeps smoke runs fast
 
 python -m tensorflow_yolo2_tpu.entries.train_classifier \
-  --model-name inception_v3 --dataset-name flowers --image-size "$SIZE" \
+  --model-name inception_v3 --preprocessing-name inception_v3 --dataset-name flowers --image-size "$SIZE" \
   --iters 300 --batch-size 8 --optimizer rmsprop --learning-rate 0.01 \
   --trainable-scopes logits,aux \
   ${CKPT:+--checkpoint-path "$CKPT" --checkpoint-exclude-scopes logits,aux}
 
 python -m tensorflow_yolo2_tpu.entries.train_classifier \
-  --model-name inception_v3 --dataset-name flowers --image-size "$SIZE" \
+  --model-name inception_v3 --preprocessing-name inception_v3 --dataset-name flowers --image-size "$SIZE" \
   --iters 150 --batch-size 8 --optimizer rmsprop --learning-rate 0.0001
 
 python -m tensorflow_yolo2_tpu.entries.eval_classifier \
-  --model-name inception_v3 --dataset-name flowers --image-size "$SIZE" \
+  --model-name inception_v3 --preprocessing-name inception_v3 --dataset-name flowers --image-size "$SIZE" \
   --max-batches 8

@@ -9,14 +9,14 @@ cd "$(dirname "$0")/.."
 CKPT="${1:-}"  # optional warm-start snapshot dir
 
 python -m tensorflow_yolo2_tpu.entries.train_classifier \
-  --model-name resnet_v1_50 --dataset-name flowers \
+  --model-name resnet_v1_50 --preprocessing-name resnet_v1_50 --dataset-name flowers \
   --iters 1000 --batch-size 32 --optimizer rmsprop --learning-rate 0.01 \
   --trainable-scopes logits \
   ${CKPT:+--checkpoint-path "$CKPT" --checkpoint-exclude-scopes logits}
 
 python -m tensorflow_yolo2_tpu.entries.train_classifier \
-  --model-name resnet_v1_50 --dataset-name flowers \
+  --model-name resnet_v1_50 --preprocessing-name resnet_v1_50 --dataset-name flowers \
   --iters 500 --batch-size 32 --optimizer rmsprop --learning-rate 0.001
 
 python -m tensorflow_yolo2_tpu.entries.eval_classifier \
-  --model-name resnet_v1_50 --dataset-name flowers --max-batches 8
+  --model-name resnet_v1_50 --preprocessing-name resnet_v1_50 --dataset-name flowers --max-batches 8

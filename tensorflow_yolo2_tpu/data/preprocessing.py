@@ -46,26 +46,177 @@ def _vgg(image: np.ndarray, size: int, train: bool,
     return rgb - _VGG_MEANS
 
 
-def _inception(image: np.ndarray, size: int, train: bool,
-               rng: random.Random) -> np.ndarray:
-    """Random crop (area 65-100%) + flip + brightness/saturation jitter,
-    scaled to [-1, 1] (inception_preprocessing capability)."""
+def _rgb_to_hsv(rgb: np.ndarray) -> np.ndarray:
+    """Vectorized RGB→HSV on float [0,1] images (tf.image convention:
+    h, s, v all in [0,1])."""
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    maxc = rgb.max(axis=-1)
+    minc = rgb.min(axis=-1)
+    v = maxc
+    delta = maxc - minc
+    safe = np.where(delta == 0, 1.0, delta)
+    s = np.where(maxc == 0, 0.0, delta / np.where(maxc == 0, 1.0, maxc))
+    h = np.where(
+        maxc == r, (g - b) / safe,
+        np.where(maxc == g, 2.0 + (b - r) / safe, 4.0 + (r - g) / safe))
+    h = np.where(delta == 0, 0.0, h / 6.0) % 1.0
+    return np.stack([h, s, v], axis=-1)
+
+
+def _hsv_to_rgb(hsv: np.ndarray) -> np.ndarray:
+    h, s, v = hsv[..., 0], hsv[..., 1], hsv[..., 2]
+    i = np.floor(h * 6.0)
+    f = h * 6.0 - i
+    p = v * (1.0 - s)
+    q = v * (1.0 - s * f)
+    t = v * (1.0 - s * (1.0 - f))
+    i = i.astype(np.int32) % 6
+    choices = np.stack([
+        np.stack([v, t, p], -1), np.stack([q, v, p], -1),
+        np.stack([p, v, t], -1), np.stack([p, q, v], -1),
+        np.stack([t, p, v], -1), np.stack([v, p, q], -1)], 0)
+    return np.take_along_axis(choices, i[None, ..., None],
+                              axis=0)[0].astype(hsv.dtype)
+
+
+def _adjust_saturation(rgb: np.ndarray, factor: float) -> np.ndarray:
+    """tf.image.adjust_saturation: RGB→HSV, scale S (clipped), →RGB."""
+    hsv = _rgb_to_hsv(rgb)
+    hsv[..., 1] = np.clip(hsv[..., 1] * factor, 0.0, 1.0)
+    return _hsv_to_rgb(hsv)
+
+
+def _adjust_hue(rgb: np.ndarray, delta: float) -> np.ndarray:
+    """tf.image.adjust_hue: rotate H by delta (fraction of the circle)."""
+    hsv = _rgb_to_hsv(rgb)
+    hsv[..., 0] = (hsv[..., 0] + delta) % 1.0
+    return _hsv_to_rgb(hsv)
+
+
+def _adjust_contrast(rgb: np.ndarray, factor: float) -> np.ndarray:
+    mean_c = rgb.mean(axis=(0, 1), keepdims=True)
+    return (rgb - mean_c) * factor + mean_c
+
+
+def distort_color(image: np.ndarray, color_ordering: int,
+                  rng: random.Random, fast_mode: bool = True) -> np.ndarray:
+    """Ordered color distortion on an RGB [0,1] image — numpy port of
+    inception_preprocessing.py:45-97 (distort_color). The ops are
+    non-commutative, so the reference samples one of 4 fixed orderings
+    (2 in fast mode); output clipped to [0,1]."""
+    def brightness(x):
+        return x + rng.uniform(-32.0 / 255.0, 32.0 / 255.0)
+
+    def saturation(x):
+        return _adjust_saturation(np.clip(x, 0.0, 1.0),
+                                  rng.uniform(0.5, 1.5))
+
+    def hue(x):
+        return _adjust_hue(np.clip(x, 0.0, 1.0), rng.uniform(-0.2, 0.2))
+
+    def contrast(x):
+        return _adjust_contrast(x, rng.uniform(0.5, 1.5))
+
+    if fast_mode:
+        orders = ([brightness, saturation] if color_ordering == 0
+                  else [saturation, brightness])
+    else:
+        orders = {
+            0: [brightness, saturation, hue, contrast],
+            1: [saturation, brightness, contrast, hue],
+            2: [contrast, hue, brightness, saturation],
+            3: [hue, saturation, contrast, brightness],
+        }[color_ordering]
+    for op in orders:
+        image = op(image)
+    return np.clip(image, 0.0, 1.0)
+
+
+def sample_distorted_bounding_box(
+    h: int,
+    w: int,
+    rng: random.Random,
+    bboxes: np.ndarray | None = None,
+    min_object_covered: float = 0.1,
+    aspect_ratio_range: tuple[float, float] = (0.75, 1.33),
+    area_range: tuple[float, float] = (0.05, 1.0),
+    max_attempts: int = 100,
+) -> tuple[int, int, int, int]:
+    """Numpy port of tf.image.sample_distorted_bounding_box (the kernel
+    behind inception_preprocessing.py:99-155): sample (top, left, ch, cw)
+    with aspect ratio w/h ∈ aspect_ratio_range, area fraction ∈
+    area_range, covering ≥ min_object_covered of some supplied bbox
+    ([ymin, xmin, ymax, xmax] in [0,1], rows of ``bboxes``); falls back
+    to the whole image after max_attempts (use_image_if_no_bounding_boxes
+    semantics when bboxes is None)."""
+    total = float(h * w)
+    for _ in range(max_attempts):
+        aspect = rng.uniform(*aspect_ratio_range)
+        min_ch = int(np.ceil(np.sqrt(area_range[0] * total / aspect)))
+        max_ch = int(np.floor(np.sqrt(area_range[1] * total / aspect)))
+        max_ch = min(max_ch, h, int(w / aspect))
+        if max_ch < max(min_ch, 1):
+            continue
+        ch = rng.randint(max(min_ch, 1), max_ch)
+        cw = int(round(ch * aspect))
+        if cw < 1 or cw > w:
+            continue
+        area_frac = (ch * cw) / total
+        if not (area_range[0] <= area_frac <= area_range[1]):
+            continue
+        top = rng.randint(0, h - ch)
+        left = rng.randint(0, w - cw)
+        if bboxes is not None and len(bboxes):
+            covered = False
+            for ymin, xmin, ymax, xmax in bboxes:
+                by0, bx0 = ymin * h, xmin * w
+                by1, bx1 = ymax * h, xmax * w
+                barea = max(by1 - by0, 0.0) * max(bx1 - bx0, 0.0)
+                iy = max(0.0, min(by1, top + ch) - max(by0, top))
+                ix = max(0.0, min(bx1, left + cw) - max(bx0, left))
+                if barea > 0 and iy * ix / barea >= min_object_covered:
+                    covered = True
+                    break
+            if not covered:
+                continue
+        return top, left, ch, cw
+    return 0, 0, h, w
+
+
+def central_crop(image: np.ndarray, fraction: float) -> np.ndarray:
+    """tf.image.central_crop: keep the central ``fraction`` along each
+    spatial dim (offsets floor'd like the TF op)."""
     h, w = image.shape[:2]
+    top = int((h - h * fraction) / 2.0)
+    left = int((w - w * fraction) / 2.0)
+    return image[top:h - top, left:w - left]
+
+
+def _inception(image: np.ndarray, size: int, train: bool,
+               rng: random.Random, fast_mode: bool = True) -> np.ndarray:
+    """Faithful numpy port of slim inception preprocessing
+    (inception_preprocessing.py:128-234 train, :237-273 eval).
+
+    Train: distorted-bbox crop (aspect 3/4-4/3, area 5-100%, whole-image
+    bbox) → bilinear resize → random flip → one of 4 ordered color
+    distortions → (x-0.5)*2. Eval: central_crop(0.875) → bilinear resize
+    → (x-0.5)*2."""
+    rgb = cv2.cvtColor(image, cv2.COLOR_BGR2RGB).astype(np.float32) / 255.0
     if train:
-        area = rng.uniform(0.65, 1.0)
-        ch = max(8, int(h * np.sqrt(area)))
-        cw = max(8, int(w * np.sqrt(area)))
-        top = rng.randint(0, h - ch) if h > ch else 0
-        left = rng.randint(0, w - cw) if w > cw else 0
-        image = image[top:top + ch, left:left + cw]
+        h, w = rgb.shape[:2]
+        top, left, ch, cw = sample_distorted_bounding_box(h, w, rng)
+        rgb = rgb[top:top + ch, left:left + cw]
+        rgb = cv2.resize(rgb, (size, size), interpolation=cv2.INTER_LINEAR)
         if rng.random() < 0.5:
-            image = image[:, ::-1]
-    image = cv2.resize(image, (size, size))
-    rgb = cv2.cvtColor(image, cv2.COLOR_BGR2RGB).astype(np.float32)
-    out = rgb / 255.0 * 2.0 - 1.0
-    if train:
-        out = np.clip(out + rng.uniform(-0.1, 0.1), -1.0, 1.0)
-    return out
+            rgb = rgb[:, ::-1]
+        # the reference samples 4 cases even in fast mode (orderings 1-3
+        # share the saturation-first branch): preprocess_for_train:225-228
+        rgb = distort_color(rgb, rng.randint(0, 3), rng,
+                            fast_mode=fast_mode)
+    else:
+        rgb = central_crop(rgb, 0.875)
+        rgb = cv2.resize(rgb, (size, size), interpolation=cv2.INTER_LINEAR)
+    return (rgb - 0.5) * 2.0
 
 
 def _darknet(image: np.ndarray, size: int, train: bool,

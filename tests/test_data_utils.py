@@ -127,3 +127,138 @@ def test_prepared_convert_and_read(tmp_path):
     for _ in range(4):
         ds.get()
     assert ds.epoch >= 2
+
+
+class TestInceptionPreprocessing:
+    """Faithful slim inception preprocessing
+    (inception_preprocessing.py:45-273): distorted-bbox crop
+    distribution, ordered color distortion, central-crop eval."""
+
+    def test_hsv_roundtrip_matches_colorsys(self, rng):
+        """Golden cross-check of the vectorized HSV math against the
+        stdlib's independent implementation."""
+        import colorsys
+
+        from tensorflow_yolo2_tpu.data.preprocessing import (
+            _hsv_to_rgb,
+            _rgb_to_hsv,
+        )
+
+        pix = rng.rand(64, 1, 3).astype(np.float32)
+        ours = _rgb_to_hsv(pix)
+        for i in range(64):
+            ref = colorsys.rgb_to_hsv(*pix[i, 0])
+            np.testing.assert_allclose(ours[i, 0], ref, atol=1e-5)
+        back = _hsv_to_rgb(ours)
+        np.testing.assert_allclose(back, pix, atol=1e-5)
+
+    def test_crop_distribution(self):
+        """sample_distorted_bounding_box: aspect ∈ [0.75, 1.33], area
+        fraction ∈ [0.05, 1.0], and the area range is actually explored
+        (not clustered) — the distribution the reference trains on
+        (inception_preprocessing.py:99-155)."""
+        import random as pyrandom
+
+        from tensorflow_yolo2_tpu.data.preprocessing import (
+            sample_distorted_bounding_box,
+        )
+
+        r = pyrandom.Random(7)
+        h, w = 300, 400
+        aspects, areas = [], []
+        for _ in range(500):
+            top, left, ch, cw = sample_distorted_bounding_box(h, w, r)
+            assert 0 <= top and top + ch <= h
+            assert 0 <= left and left + cw <= w
+            if (top, left, ch, cw) == (0, 0, h, w):
+                continue  # max_attempts fallback (rare)
+            aspects.append(cw / ch)
+            areas.append(ch * cw / (h * w))
+        areas = np.asarray(areas)
+        assert len(areas) > 450
+        # round-to-int slop on tiny crops widens aspect by < 2%
+        assert min(aspects) >= 0.75 * 0.98 and max(aspects) <= 1.33 * 1.02
+        assert areas.min() >= 0.05 and areas.max() <= 1.0
+        assert np.percentile(areas, 10) < 0.2  # small crops happen
+        assert np.percentile(areas, 90) > 0.6  # large crops happen
+
+    def test_crop_respects_min_object_covered(self):
+        import random as pyrandom
+
+        from tensorflow_yolo2_tpu.data.preprocessing import (
+            sample_distorted_bounding_box,
+        )
+
+        r = pyrandom.Random(3)
+        h, w = 200, 200
+        box = np.array([[0.4, 0.4, 0.6, 0.6]])  # center 40x40 box
+        for _ in range(100):
+            top, left, ch, cw = sample_distorted_bounding_box(
+                h, w, r, bboxes=box, min_object_covered=0.5)
+            if (top, left, ch, cw) == (0, 0, h, w):
+                continue
+            iy = max(0, min(0.6 * h, top + ch) - max(0.4 * h, top))
+            ix = max(0, min(0.6 * w, left + cw) - max(0.4 * w, left))
+            assert iy * ix / (0.2 * h * 0.2 * w) >= 0.5 - 1e-6
+
+    def test_distort_color_orderings(self, rng):
+        import random as pyrandom
+
+        from tensorflow_yolo2_tpu.data.preprocessing import distort_color
+
+        img = rng.rand(16, 16, 3).astype(np.float32)
+        outs = []
+        for ordering in range(4):
+            out = distort_color(img.copy(), ordering,
+                                pyrandom.Random(11), fast_mode=False)
+            assert out.min() >= 0.0 and out.max() <= 1.0
+            outs.append(out)
+        # non-commutative ops + same rng stream → orderings differ
+        assert not np.allclose(outs[0], outs[2], atol=1e-3)
+
+    def test_adjust_ops_semantics(self):
+        from tensorflow_yolo2_tpu.data.preprocessing import (
+            _adjust_hue,
+            _adjust_saturation,
+        )
+
+        red = np.zeros((1, 1, 3), np.float32)
+        red[..., 0] = 1.0
+        # saturation 0 → gray at the value (max channel)
+        gray = _adjust_saturation(red, 0.0)
+        np.testing.assert_allclose(gray, 1.0, atol=1e-6)
+        # hue + 1/2 turn on pure red → cyan
+        cyan = _adjust_hue(red, 0.5)
+        np.testing.assert_allclose(cyan[0, 0], [0.0, 1.0, 1.0], atol=1e-5)
+        # identity factors are no-ops
+        np.testing.assert_allclose(_adjust_saturation(red, 1.0), red,
+                                   atol=1e-6)
+        np.testing.assert_allclose(_adjust_hue(red, 0.0), red, atol=1e-6)
+
+    def test_eval_central_crop(self):
+        """Eval = central_crop(0.875) → resize: border pixels never
+        reach the output (inception_preprocessing.py:262-267)."""
+        from tensorflow_yolo2_tpu.data.preprocessing import (
+            get_preprocessing,
+        )
+
+        img = np.zeros((160, 160, 3), np.uint8)
+        img[:10] = 255  # bright band in the cropped-away border
+        img[10:] = 128
+        out = get_preprocessing("inception_v3", is_training=False,
+                                image_size=64)(img)
+        # 0.875 crop drops rows < 10; only the 128 level remains
+        np.testing.assert_allclose(out, 128 / 255 * 2 - 1, atol=0.02)
+
+    def test_train_output_range_and_shape(self, rng):
+        from tensorflow_yolo2_tpu.data.preprocessing import (
+            get_preprocessing,
+        )
+
+        fn = get_preprocessing("inception_v3", is_training=True,
+                               image_size=96, seed=5)
+        for _ in range(8):
+            img = rng.randint(0, 255, (200, 260, 3)).astype(np.uint8)
+            out = fn(img)
+            assert out.shape == (96, 96, 3)
+            assert out.min() >= -1.0 and out.max() <= 1.0
