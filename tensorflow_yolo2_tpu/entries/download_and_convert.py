@@ -5,17 +5,23 @@ datasets/download_and_convert_{cifar10,flowers,mnist}.py: one flag-driven
 entry that turns a raw dataset into the framework's prepared shard format
 (npz shards + manifest, data/prepared.py — the TFRecord analog).
 
-This environment has no network egress, so the *download* half takes a
-local mirror via ``--source-dir`` (the raw artifacts the reference's
-downloader would have fetched: MNIST IDX files, CIFAR-10 python/binary
-batches, a dir-per-class flowers tree). Everything after the fetch —
-decode, label, shard, manifest — matches the reference converters'
-behavior, and the output trains through ``--dataset-name prepared``
-(entries/datasets.py).
+The *download* half (dataset_utils.py:66-84 URL/tarball plumbing) lives in
+``data/fetch.py``: pass ``--download-url`` (repeatable; ``file://`` mirrors
+work — the only transport in this egress-less environment) or rely on the
+reference's built-in URL tables where egress exists. Alternatively skip the
+fetch entirely with ``--source-dir`` pointing at already-unpacked raw
+artifacts (MNIST IDX files, CIFAR-10 python/binary batches, a dir-per-class
+flowers tree). Everything after the fetch — decode, label, shard,
+manifest — matches the reference converters' behavior, and the output
+trains through ``--dataset-name prepared`` (entries/datasets.py).
 
 Usage:
   python -m tensorflow_yolo2_tpu.entries.download_and_convert \
       --dataset-name cifar10 --source-dir /mirrors/cifar-10-batches-py \
+      --dataset-dir $TFY2_ROOT/data/cifar10_prepared
+  python -m tensorflow_yolo2_tpu.entries.download_and_convert \
+      --dataset-name cifar10 \
+      --download-url file:///mirrors/cifar-10-python.tar.gz \
       --dataset-dir $TFY2_ROOT/data/cifar10_prepared
 """
 
@@ -77,8 +83,15 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--dataset-dir", required=True,
                    help="output directory for the prepared shards")
     p.add_argument("--source-dir", default=None,
-                   help="local mirror of the raw dataset (no network "
-                        "egress here; the reference downloads this)")
+                   help="already-unpacked raw dataset (skips the fetch)")
+    p.add_argument("--download-url", action="append", default=None,
+                   help="URL(s) of the raw artifacts; file:// mirrors "
+                        "work. Repeat for multi-file datasets (mnist). "
+                        "Omit to use the reference's built-in URL table "
+                        "(needs egress).")
+    p.add_argument("--download-dir", default=None,
+                   help="where fetched archives land (default: "
+                        "<dataset-dir>/raw)")
     p.add_argument("--shard-size", type=int, default=256)
     p.add_argument("--image-size", type=int, default=224,
                    help="flowers resize target (mnist/cifar10 keep their "
@@ -87,12 +100,21 @@ def main(argv: list[str] | None = None) -> int:
 
     from tensorflow_yolo2_tpu.config import Paths
 
-    source = args.source_dir or os.path.join(Paths().root, "data",
-                                             args.dataset_name)
+    if args.source_dir is not None:
+        source = args.source_dir
+    else:
+        source = os.path.join(Paths().root, "data", args.dataset_name)
+        if not os.path.isdir(source) or args.download_url:
+            from tensorflow_yolo2_tpu.data.fetch import fetch_dataset
+
+            raw_dir = args.download_dir or os.path.join(args.dataset_dir,
+                                                        "raw")
+            source = fetch_dataset(args.dataset_name, raw_dir,
+                                   urls=args.download_url)
     if not os.path.isdir(source):
         p.error(f"raw {args.dataset_name} not found at {source}; pass "
-                "--source-dir with a local mirror (this environment "
-                "cannot download)")
+                "--source-dir with a local mirror or --download-url "
+                "(file:// works without egress)")
 
     if args.dataset_name == "mnist":
         manifests = _convert_mnist(source, args.dataset_dir,

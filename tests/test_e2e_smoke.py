@@ -201,6 +201,35 @@ def test_train_then_eval_classifier_mnist(tmp_root):
     assert rc == 0
 
 
+@pytest.mark.slow
+def test_train_darknet19_imagenet_recipe(tmp_root):
+    """scripts/train_darknet19_imagenet.sh capability (reference
+    slim_train_darknet19_imagenet.sh): darknet19 on an ILSVRC CLS-LOC
+    tree through the flag-driven classifier trainer + eval."""
+    from tensorflow_yolo2_tpu.entries import eval_classifier, train_classifier
+
+    ilsvrc = synthetic.make_cls_pretrain(
+        str(tmp_root / "data" / "ilsvrc"), per_class=4, n_val=8)
+    rc = train_classifier.main([
+        "--model-name", "darknet19", "--dataset-name", "imagenet",
+        "--data-path", ilsvrc, "--image-size", "64",
+        "--preprocessing-name", "vgg",
+        "--iters", "2", "--batch-size", "4", "--num-workers", "1",
+        "--optimizer", "momentum", "--learning-rate", "0.001",
+        "--momentum", "0.9",
+        "--compute-dtype", "float32", "--save-every", "2"])
+    assert rc == 0
+    assert (tmp_root / "ckpts" / "darknet19" / "ilsvrc_2017_cls" /
+            "train_iter_2").exists()
+    rc = eval_classifier.main([
+        "--model-name", "darknet19", "--dataset-name", "imagenet",
+        "--data-path", ilsvrc, "--image-size", "64",
+        "--preprocessing-name", "vgg", "--dataset-split-name", "val",
+        "--batch-size", "4", "--max-batches", "2",
+        "--compute-dtype", "float32"])
+    assert rc == 0
+
+
 def test_registry_zoo_models_forward():
     import jax
     import numpy as np
