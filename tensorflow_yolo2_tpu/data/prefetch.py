@@ -9,6 +9,10 @@ paired queues, shared readiness flags and modulo-scheduled refills. Here:
   decode/augment work off the critical path. cv2/numpy release the GIL for
   the heavy work, so threads give process-level throughput without the
   pickling tax the reference pays on every queue transfer.
+- :class:`ProcessPrefetchLoader` — the same contract over worker
+  *processes* (each building its own imdb via a picklable factory), the
+  direct analog of the reference's 10-process pool, for python-bound
+  (GIL-holding) pipelines on multi-core hosts.
 - :func:`device_prefetch` — wraps any host batch iterator with a
   ``jax.device_put`` double buffer: batch N+1 is already on (or on its way
   to) the device while batch N computes, so the step never waits on PCIe.
@@ -135,6 +139,138 @@ class PrefetchLoader:
             pass
 
     def __enter__(self) -> "PrefetchLoader":
+        return self
+
+    def __exit__(self, *exc: Any) -> None:
+        self.close()
+
+
+class _WorkerDone:
+    """End-of-stream sentinel (one per worker)."""
+
+
+class _WorkerError:
+    def __init__(self, formatted: str):
+        self.formatted = formatted
+
+
+def _pp_worker(factory, worker_id: int, num_workers: int, q, stop) -> None:
+    """Child-process body: build this worker's own producer and stream.
+
+    Top-level so it pickles under the spawn start method.
+    """
+    try:
+        get_batch = factory(worker_id, num_workers)
+        while not stop.is_set():
+            try:
+                batch = get_batch()
+            except StopIteration:
+                q.put(_WorkerDone())
+                return
+            while not stop.is_set():
+                try:
+                    q.put(batch, timeout=0.1)
+                    break
+                except queue.Full:
+                    continue
+    except BaseException:  # surfaced in the parent's __next__
+        import traceback
+
+        try:
+            q.put(_WorkerError(traceback.format_exc()), timeout=5.0)
+        except queue.Full:
+            pass
+
+
+class ProcessPrefetchLoader:
+    """Multi-PROCESS batch producer — the reference's 10-worker
+    multiprocessing pool (ilsvrc2017_cls_multithread.py:119-154) for
+    pipelines whose per-batch python work does NOT release the GIL
+    (pure-numpy augmentation, label-grid building, pickle parsing) and
+    therefore cannot scale on :class:`PrefetchLoader`'s threads.
+
+    ``factory(worker_id, num_workers)`` is a picklable module-level
+    callable that builds and returns this worker's ``get_batch`` inside
+    the child process — each worker owns a private imdb (no shared
+    cursor, no lock). For shuffled training streams a per-worker seed is
+    all the sharding needed; when every example must appear exactly once
+    per epoch, shard inside the factory (e.g. take every
+    ``num_workers``-th entry starting at ``worker_id`` — the reference's
+    modulo schedule).
+
+    Costs vs threads: one fork/spawn + imdb build per worker at startup,
+    and a pickle/unpickle per batch transfer (~30 MB for a 48×224² f32
+    batch) — the same tax the reference pays on every queue hop. Measure
+    with ``benchmarks/host_pipeline.py`` before choosing; on a 1-core
+    host threads win, processes only pay off with real cores.
+    """
+
+    def __init__(self, factory: Callable[[int, int], Callable[[], Any]],
+                 num_workers: int = 4, prefetch_size: int = 8,
+                 start_method: str = "spawn"):
+        import multiprocessing as mp
+
+        # spawn by default: forking a parent whose JAX/TPU-tunnel state is
+        # live can deadlock the child; spawn children start clean
+        ctx = mp.get_context(start_method)
+        self._queue = ctx.Queue(maxsize=prefetch_size)
+        self._stop = ctx.Event()
+        self._live = num_workers
+        self._procs = [
+            ctx.Process(target=_pp_worker,
+                        args=(factory, i, num_workers, self._queue,
+                              self._stop),
+                        daemon=True, name=f"prefetch-proc-{i}")
+            for i in range(num_workers)
+        ]
+        for proc in self._procs:
+            proc.start()
+
+    def __iter__(self) -> "ProcessPrefetchLoader":
+        return self
+
+    def __next__(self) -> Any:
+        while True:
+            try:
+                item = self._queue.get(timeout=0.1)
+            except queue.Empty:
+                if self._live <= 0 or \
+                        not any(p.is_alive() for p in self._procs):
+                    # all workers gone; anything still buffered was
+                    # delivered by the timed get above
+                    raise StopIteration
+                continue
+            if isinstance(item, _WorkerDone):
+                self._live -= 1
+                if self._live <= 0:
+                    raise StopIteration
+                continue
+            if isinstance(item, _WorkerError):
+                self.close()
+                raise RuntimeError(
+                    "prefetch worker process failed:\n" + item.formatted)
+            return item
+
+    def close(self) -> None:
+        if getattr(self, "_pp_closed", False):  # idempotent
+            return
+        self._pp_closed = True
+        self._stop.set()
+        try:
+            while True:
+                self._queue.get_nowait()
+        except queue.Empty:
+            pass
+        for p in self._procs:
+            p.join(timeout=5.0)
+        for p in self._procs:
+            if p.is_alive():
+                p.terminate()
+                p.join(timeout=5.0)
+        self._queue.close()
+        self._queue.cancel_join_thread()
+
+    def __enter__(self) -> "ProcessPrefetchLoader":
         return self
 
     def __exit__(self, *exc: Any) -> None:
