@@ -41,11 +41,12 @@ def main() -> None:
                          "the generalization sanity point")
     ap.add_argument("--v2", action="store_true",
                     help="train/eval the anchor head (pascal_train_darknet"
-                         " --v2) — B=5 anchor priors fit the hard "
-                         "fixture's varied box scales/aspects better than "
-                         "the YOLOv1 square-root regression (note: the "
-                         "label grid still supervises one object per "
-                         "cell in both modes, data/voc.build_label_grid)")
+                         " --v2) — B=5 anchor priors + the per-slot "
+                         "multi-object label grid (data/voc."
+                         "build_label_grid_v2: one cell can own up to B "
+                         "objects) + the YOLO9000 stabilizers (noobj "
+                         "ignore threshold, burn-in prior loss, "
+                         "(2-w*h) coord scale)")
     ap.add_argument("--multiscale", default=None,
                     help="comma-separated input sizes for YOLO9000 "
                          "multiscale training (requires --v2; passed "
@@ -101,7 +102,7 @@ def main() -> None:
         rc = imagenet_train_darknet.main(
             ["--iters", str(args.pretrain_iters), "--batch-size", "48",
              "--num-workers", "2", "--log-every", "50",
-             "--eval-every", "100",
+             "--eval-every", "100", "--uint8-transfer",
              "--save-every", str(args.pretrain_iters)])
         assert rc == 0
         # pascal_train_darknet discovers the snapshot automatically
@@ -124,10 +125,12 @@ def main() -> None:
     for stage in stages:
         iters = stage - done
         assert iters > 0, "stages must be increasing"
+        # uint8-transfer: same pixel values, 4x fewer bytes over the
+        # host↔device link (the tunnel is the wall for this harness)
         rc = pascal_train_darknet.main(
             ["--iters", str(iters), "--batch-size", str(args.batch),
              "--num-workers", "2", "--save-every", str(iters),
-             "--log-every", "50",
+             "--log-every", "50", "--uint8-transfer",
              "--bn-momentum", str(args.bn_momentum)]
             + (["--v2"] if args.v2 else [])
             + (["--multiscale", args.multiscale] if args.multiscale

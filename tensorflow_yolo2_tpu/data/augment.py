@@ -138,6 +138,37 @@ def augment_image(image: np.ndarray, cfg: AugmentConfig,
     (BGR by default; set ``rgb=True`` for RGB inputs so the HSV color
     perturbation uses the right channel order); returns a float32
     (image_size, image_size, 3) in [-1, 1]."""
+    out = normalize(augment_image_u8(image, cfg, rng, rgb=rgb))
+
+    if cfg.random_noise:
+        eps = rng.choice([4, 8, 12, 16]) / 255.0 * 2.0
+        # seed the array draw from the caller's rng: reproducible per
+        # dataset seed, and no shared global-RNG state across workers
+        np_rng = np.random.RandomState(rng.randrange(2**32))
+        sign = np.sign(np_rng.uniform(-1, 1, out.shape)).astype(np.float32)
+        out = np.clip(out + eps * sign, -1.0, 1.0)
+
+    return out
+
+
+def augment_image_u8(image: np.ndarray, cfg: AugmentConfig,
+                     rng: random.Random, rgb: bool = False) -> np.ndarray:
+    """:func:`augment_image` without the final normalize — returns the
+    augmented uint8 (image_size, image_size, 3) image.
+
+    The uint8-transfer training path (the training twin of
+    :func:`image_read_u8`): every augmentation op is uint8-native, so the
+    host can ship the raw bytes (4x fewer host↔device bytes than float32)
+    and the device applies (x/255)*2-1 as its first fused op
+    (train.trainer device-normalizes uint8 batches) — identical values to
+    the float path since both normalize the same uint8 pixels.
+    ``random_noise`` is host-side float arithmetic and is not supported
+    here (the float path keeps it).
+
+    Draw order from ``rng`` matches :func:`augment_image` exactly, so the
+    two paths see the same augmentation sequence for the same seed."""
+    assert not cfg.random_noise, \
+        "random_noise is float-valued; use augment_image (float transfer)"
     size = cfg.image_size
 
     do_flip = cfg.flip and bool(rng.getrandbits(1))
@@ -202,17 +233,7 @@ def augment_image(image: np.ndarray, cfg: AugmentConfig,
     if crop_chance == 0 or too_small:
         image = cv2.resize(image, (size, size))
 
-    out = normalize(image)
-
-    if cfg.random_noise:
-        eps = rng.choice([4, 8, 12, 16]) / 255.0 * 2.0
-        # seed the array draw from the caller's rng: reproducible per
-        # dataset seed, and no shared global-RNG state across workers
-        np_rng = np.random.RandomState(rng.randrange(2**32))
-        sign = np.sign(np_rng.uniform(-1, 1, out.shape)).astype(np.float32)
-        out = np.clip(out + eps * sign, -1.0, 1.0)
-
-    return out
+    return image
 
 
 def read_and_augment(path: str, cfg: AugmentConfig, rng: random.Random,

@@ -29,7 +29,9 @@ from tensorflow_yolo2_tpu.config import Paths
 from tensorflow_yolo2_tpu.data.augment import (
     AugmentConfig,
     augment_image,
+    augment_image_u8,
     image_read as aug_image_read,
+    image_read_u8 as aug_image_read_u8,
     normalize,
 )
 
@@ -56,7 +58,8 @@ class IlsvrcCls:
                  rgb: bool = False, resize_policy: str = "warp",
                  random_noise: bool = False, rebuild: bool = False,
                  paths: Paths | None = None, data_path: str | None = None,
-                 seed: int = 0, preprocess_name: str | None = None):
+                 seed: int = 0, preprocess_name: str | None = None,
+                 uint8: bool = False):
         assert image_set in ("train", "val")
         assert resize_policy in ("warp", "pad")
         self.name = "ilsvrc_2017_cls"
@@ -71,6 +74,15 @@ class IlsvrcCls:
         self.rebuild = rebuild
         self.aug_cfg = AugmentConfig(image_size=image_size,
                                      random_noise=random_noise)
+        # uint8-transfer mode: get() ships raw uint8 pixels and the trainer
+        # normalizes on device (train.trainer.device_normalize). Host-side
+        # float transforms can't emit uint8 — combine explicitly instead of
+        # silently changing the training distribution.
+        assert not (uint8 and random_noise), \
+            "random_noise is host-side float arithmetic; use float transfer"
+        assert not (uint8 and preprocess_name), \
+            "slim preprocessing fns emit normalized float; use float transfer"
+        self.uint8 = uint8
         self.rng = random.Random(seed)
         # slim preprocessing_name path (train_image_classifier.py:428-435):
         # a per-model factory fn replaces the native read/augment convention
@@ -159,8 +171,10 @@ class IlsvrcCls:
                 raise FileNotFoundError(path)
             return self._preprocess(image)
         if not self.data_aug and self.resize_policy != "pad":
-            # plain warp path: the fused native resize+swap+normalize
+            # plain warp path: the fused native resize+swap(+normalize)
             # kernel (one pass instead of read→convert→resize→normalize)
+            if self.uint8:
+                return aug_image_read_u8(path, self.image_size, rgb=self.rgb)
             return aug_image_read(path, self.image_size, rgb=self.rgb)
         image = cv2.imread(path)
         if image is None:
@@ -168,9 +182,13 @@ class IlsvrcCls:
         if self.rgb:
             image = cv2.cvtColor(image, cv2.COLOR_BGR2RGB)
         if self.data_aug:
+            if self.uint8:
+                return augment_image_u8(image, self.aug_cfg, self.rng,
+                                        rgb=self.rgb)
             return augment_image(image, self.aug_cfg, self.rng,
                                  rgb=self.rgb)
-        return normalize(_pad_center_resize(image, self.image_size))
+        padded = _pad_center_resize(image, self.image_size)
+        return padded if self.uint8 else normalize(padded)
 
     def _next_entries(self, n: int) -> list[tuple[str, int]]:
         with self._lock:
@@ -188,7 +206,8 @@ class IlsvrcCls:
         """Thread-safe: selection locked, decode/augment outside."""
         entries = self._next_entries(self.batch_size)
         images = np.zeros(
-            (self.batch_size, self.image_size, self.image_size, 3), np.float32)
+            (self.batch_size, self.image_size, self.image_size, 3),
+            np.uint8 if self.uint8 else np.float32)
         labels = np.zeros(self.batch_size, np.int32)
         for count, (path, cls) in enumerate(entries):
             images[count] = self.image_read(path)

@@ -29,7 +29,7 @@ import cv2
 import numpy as np
 
 from tensorflow_yolo2_tpu.config import VOC_CLASSES, Paths, YoloConfig
-from tensorflow_yolo2_tpu.data.augment import image_read
+from tensorflow_yolo2_tpu.data.augment import image_read, image_read_u8
 from tensorflow_yolo2_tpu.utils import native
 
 
@@ -101,7 +101,7 @@ class PascalVOC:
     def __init__(self, image_set: str, batch_size: int = 48,
                  yolo: YoloConfig = YoloConfig(), rebuild: bool = False,
                  flipped: bool = False, paths: Paths | None = None,
-                 data_path: str | None = None):
+                 data_path: str | None = None, uint8: bool = False):
         self.name = "voc_2007"
         self.paths = paths or Paths()
         self.data_path = data_path or os.path.join(self.paths.pascal, "VOC2007")
@@ -119,6 +119,10 @@ class PascalVOC:
         self.image_set = image_set
         self.rebuild = rebuild
         self.flipped = flipped
+        # uint8-transfer mode: get() ships raw uint8 pixels (4x fewer
+        # host↔device bytes); the trainer normalizes on device
+        # (train.trainer.device_normalize) — same values as the float path
+        self.uint8 = uint8
         self.cursor = 0
         self.epoch = 1
         self.gt_labels: list[dict] = []
@@ -154,14 +158,16 @@ class PascalVOC:
         locked, decode is not."""
         entries = self._next_entries(self.batch_size)
         images = np.zeros(
-            (self.batch_size, self.image_size, self.image_size, 3), np.float32)
+            (self.batch_size, self.image_size, self.image_size, 3),
+            np.uint8 if self.uint8 else np.float32)
         grid_shape = ((self.cell_size, self.cell_size, self.yolo.B,
                        5 + self.num_class) if self.per_slot else
                       (self.cell_size, self.cell_size, 5 + self.num_class))
         labels = np.zeros((self.batch_size,) + grid_shape, np.float32)
+        read = image_read_u8 if self.uint8 else image_read
         for count, entry in enumerate(entries):
-            images[count] = image_read(entry["imname"], self.image_size,
-                                       flipped=entry["flipped"])
+            images[count] = read(entry["imname"], self.image_size,
+                                 flipped=entry["flipped"])
             labels[count] = entry["label"]
         return images, labels
 

@@ -34,6 +34,11 @@ from tensorflow_yolo2_tpu.train.trainer import Trainer, softmax_task
 
 def main(argv: list[str] | None = None) -> int:
     p = common.base_parser(__doc__)
+    p.add_argument("--uint8-transfer", action="store_true",
+                   help="ship raw uint8 batches to the device and "
+                        "normalize on-chip (4x fewer host↔device bytes; "
+                        "same pixel values — the training twin of the "
+                        "uint8 serving path)")
     args = p.parse_args(argv)
 
     from tensorflow_yolo2_tpu.utils.jaxsetup import enable_compilation_cache
@@ -45,9 +50,11 @@ def main(argv: list[str] | None = None) -> int:
     dtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
 
     train_imdb = IlsvrcCls("train", batch_size=batch_size, data_aug=True,
-                           data_path=args.data_path, seed=args.seed)
+                           data_path=args.data_path, seed=args.seed,
+                           uint8=args.uint8_transfer)
     val_imdb = IlsvrcCls("val", batch_size=batch_size,
-                         data_path=args.data_path, seed=args.seed)
+                         data_path=args.data_path, seed=args.seed,
+                         uint8=args.uint8_transfer)
     paths = Paths()
     model = Darknet19Classifier(num_classes=train_imdb.num_class, dtype=dtype)
     trainer = Trainer(

@@ -53,6 +53,11 @@ def main(argv: list[str] | None = None) -> int:
                         "SelectAndScatter pool gradients (~23%% of the "
                         "448² step). NOT reference parity; snapshots go "
                         "to separate <net>_sd dirs")
+    p.add_argument("--uint8-transfer", action="store_true",
+                   help="ship raw uint8 batches to the device and "
+                        "normalize on-chip (4x fewer host↔device bytes; "
+                        "same pixel values — the training twin of the "
+                        "uint8 serving path)")
     p.add_argument("--bn-momentum", type=float, default=0.99,
                    help="BatchNorm moving-stat momentum (reference "
                         "tf.layers default 0.99; lower it for short "
@@ -105,7 +110,8 @@ def main(argv: list[str] | None = None) -> int:
     if args.downsample == "stride":
         net_name += "_sd"  # keep non-parity runs out of the parity dirs
     imdb = PascalVOC(args.image_set, batch_size=batch_size, yolo=yolo,
-                     flipped=args.flipped, data_path=args.data_path)
+                     flipped=args.flipped, data_path=args.data_path,
+                     uint8=args.uint8_transfer)
     get_batch = imdb.get
     if args.multiscale:
         # YOLO9000 multiscale: every 10 batches hop to a random size from
@@ -122,7 +128,7 @@ def main(argv: list[str] | None = None) -> int:
             s: imdb if s == yolo.image_size else PascalVOC(
                 args.image_set, batch_size=batch_size,
                 yolo=yolo.at_scale(s // 32), flipped=args.flipped,
-                data_path=args.data_path)
+                data_path=args.data_path, uint8=args.uint8_transfer)
             for s in sizes}
         ms_rng = _random.Random(args.seed)
         ms_lock = _threading.Lock()

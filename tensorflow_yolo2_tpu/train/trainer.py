@@ -45,6 +45,22 @@ from tensorflow_yolo2_tpu.parallel.mesh import (
 from tensorflow_yolo2_tpu.train.optimizers import make_ema, make_optimizer
 
 
+def device_normalize(images: jnp.ndarray) -> jnp.ndarray:
+    """uint8 batches → float32 in [-1, 1] on device; float passes through.
+
+    The uint8-transfer training path: the host ships raw uint8 pixels (4x
+    fewer host↔device bytes than float32 — the transfer is the wall on
+    narrow links like PCIe-attached hosts or the axon tunnel) and the chip
+    applies (x/255)*2-1 as its first op, which XLA fuses into the input
+    pipeline of the first convolution. Same convention as
+    data.augment.normalize and the ops.quant serving path; the dtype
+    branch resolves at trace time, so float batches compile to a no-op.
+    """
+    if images.dtype == jnp.uint8:
+        return (images.astype(jnp.float32) / 255.0) * 2.0 - 1.0
+    return images
+
+
 class TrainState(flax.struct.PyTreeNode):
     step: jnp.ndarray
     params: Any
@@ -182,6 +198,8 @@ class Trainer:
                      batch_stats_override: Any = None) -> TrainState:
         """Initialize (or adopt) variables and shard them onto the mesh."""
         init_rng, state_rng = jax.random.split(rng)
+        # uint8-transfer feeds hand raw-byte samples here too
+        sample_batch = device_normalize(jnp.asarray(sample_batch))
         variables = self.model.init(init_rng, sample_batch, train=False)
         params = params_override if params_override is not None \
             else variables["params"]
@@ -254,6 +272,7 @@ class Trainer:
 
         def step(state: TrainState, images: jnp.ndarray,
                  labels: jnp.ndarray):
+            images = device_normalize(images)
             step_rng, next_rng = jax.random.split(state.rng)
             task_kw = {"step": state.step} if takes_step else {}
 
@@ -321,6 +340,7 @@ class Trainer:
     def _make_eval_step(self):
         def step(state: TrainState, images: jnp.ndarray,
                  labels: jnp.ndarray):
+            images = device_normalize(images)
             # raw-vs-EMA eval switch (slim evaluates either; reference
             # eval restores EMA when moving_average_decay is set)
             params = (state.ema_params
