@@ -47,6 +47,11 @@ def main() -> None:
                          "objects) + the YOLO9000 stabilizers (noobj "
                          "ignore threshold, burn-in prior loss, "
                          "(2-w*h) coord scale)")
+    ap.add_argument("--anchors", default="classic",
+                    choices=["classic", "kmeans"],
+                    help="with --v2: anchor priors — 'kmeans' computes "
+                         "dimension clusters on the fixture's own boxes "
+                         "(pascal_train_darknet --anchors kmeans)")
     ap.add_argument("--multiscale", default=None,
                     help="comma-separated input sizes for YOLO9000 "
                          "multiscale training (requires --v2; passed "
@@ -110,16 +115,7 @@ def main() -> None:
         # path); nothing else to wire
 
     from tensorflow_yolo2_tpu.config import yolo_v2_config
-    if args.v2:
-        yolo = yolo_v2_config()
-    else:
-        yolo = YoloConfig()
-    # Evaluation ground truth is pulled from the eval imdb's label grid.
-    # Use the per-slot (multi-object) grid for GT in BOTH modes so the
-    # mAP denominator counts every annotated object — the v1 one-object-
-    # per-cell grid would silently drop cell-overflow objects from GT and
-    # flatter the score.
-    eval_gt_yolo = yolo if args.v2 else yolo_v2_config(yolo.image_size)
+    yolo = yolo_v2_config() if args.v2 else YoloConfig()
     rows = []
     done = 0
     for stage in stages:
@@ -132,11 +128,25 @@ def main() -> None:
              "--num-workers", "2", "--save-every", str(iters),
              "--log-every", "50", "--uint8-transfer",
              "--bn-momentum", str(args.bn_momentum)]
-            + (["--v2"] if args.v2 else [])
+            + (["--v2", "--anchors", args.anchors] if args.v2 else [])
             + (["--multiscale", args.multiscale] if args.multiscale
                else []))
         assert rc == 0
         done = stage
+        if args.v2:
+            # resolve the priors the run trained with (anchors.json in
+            # the snapshot dir — identical to classic unless --anchors
+            # kmeans computed dimension clusters on the fixture)
+            from tensorflow_yolo2_tpu.data.anchors import (
+                v2_config_for_snapshot,
+            )
+            yolo = v2_config_for_snapshot("darknet19_v2", "voc_2007")
+        # Evaluation ground truth is pulled from the eval imdb's label
+        # grid. Use the per-slot (multi-object) grid for GT in BOTH modes
+        # so the mAP denominator counts every annotated object — the v1
+        # one-object-per-cell grid would silently drop cell-overflow
+        # objects from GT and flatter the score.
+        eval_gt_yolo = yolo if args.v2 else yolo_v2_config(yolo.image_size)
 
         if args.v2:
             params, stats = load_detector_params(

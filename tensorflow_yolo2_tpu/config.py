@@ -188,14 +188,25 @@ CLASSIC_VOC_ANCHORS = (
     (8.98282, 9.77052), (11.2364, 10.0071))
 
 
-def yolo_v2_config(image_size: int = 224) -> YoloConfig:
-    """Anchor-head ``YoloConfig`` at ``image_size`` (multiple of 32):
-    per-slot class logits, B=5 classic VOC priors rescaled from the
-    13-grid to this run's S = image_size/32 grid."""
+def yolo_v2_config(image_size: int = 224,
+                   anchors: tuple[tuple[float, float], ...] | None = None
+                   ) -> YoloConfig:
+    """Anchor-head ``YoloConfig`` at ``image_size`` (multiple of 32).
+
+    Default priors are the paper's published VOC clusters
+    (``CLASSIC_VOC_ANCHORS``) rescaled from the 13-grid to this run's
+    S = image_size/32 grid. Pass ``anchors`` — (w, h) pairs already in
+    *this grid's* cell units, e.g. dataset-specific dimension clusters
+    from ``data.anchors.iou_kmeans`` — to override them; B follows
+    len(anchors)."""
     S = image_size // 32
-    scale = S / 13.0
-    anchors = tuple((w * scale, h * scale) for w, h in CLASSIC_VOC_ANCHORS)
-    return YoloConfig(S=S, image_size=image_size, B=5,
+    if anchors is None:
+        scale = S / 13.0
+        anchors = tuple((w * scale, h * scale)
+                        for w, h in CLASSIC_VOC_ANCHORS)
+    else:
+        anchors = tuple((float(w), float(h)) for w, h in anchors)
+    return YoloConfig(S=S, image_size=image_size, B=len(anchors),
                       per_slot_classes=True, anchors=anchors)
 
 

@@ -202,6 +202,17 @@ class PascalVOC:
                      else f"_{self.image_size}x{self.cell_size}")
         if self.per_slot:
             scale_tag += f"_slots{self.yolo.B}"
+            # slot assignment depends on the anchor priors: qualify the
+            # cache for non-classic anchors (k-means dimension clusters)
+            # so grids built against different priors never collide
+            from tensorflow_yolo2_tpu.config import yolo_v2_config
+            classic = yolo_v2_config(self.image_size).anchors
+            if tuple(self.yolo.anchors) != classic:
+                import hashlib
+                digest = hashlib.sha1(
+                    np.asarray(self.yolo.anchors,
+                               np.float64).tobytes()).hexdigest()[:8]
+                scale_tag += f"_a{digest}"
         cache_file = os.path.join(
             self.cache_path,
             f"pascal_{self.image_set}_gt_labels{scale_tag}.pkl")

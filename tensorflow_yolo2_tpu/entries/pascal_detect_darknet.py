@@ -286,10 +286,14 @@ def main(argv: list[str] | None = None) -> int:
                 "(ops.quant layer plan); the stride variant is bf16-only")
     sd = "_sd" if args.downsample == "stride" else ""
     if args.v2:
-        from tensorflow_yolo2_tpu.config import yolo_v2_config
-        yolo = yolo_v2_config(args.image_size)
+        # anchors come from the snapshot dir's anchors.json when present
+        # (k-means dimension clusters persisted by pascal_train_darknet
+        # --anchors kmeans), else the classic VOC priors
+        from tensorflow_yolo2_tpu.data.anchors import v2_config_for_snapshot
         net_name = ("darknet19_v2p" if args.passthrough
                     else "darknet19_v2") + sd
+        yolo = v2_config_for_snapshot(net_name, "voc_2007",
+                                      args.image_size)
         params, stats = (None, None) if args.int8_weights else \
             load_detector_params(
                 yolo, args.tf_checkpoint, network_name=net_name)

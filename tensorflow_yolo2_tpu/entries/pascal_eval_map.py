@@ -55,9 +55,11 @@ def main(argv: list[str] | None = None) -> int:
         p.error("int8 serving does not cover the passthrough head's "
                 "concat route yet")
     if args.v2:
-        from tensorflow_yolo2_tpu.config import yolo_v2_config
-        yolo = yolo_v2_config()
+        # decode with the priors the snapshot was trained against
+        # (anchors.json — k-means dimension clusters — when present)
+        from tensorflow_yolo2_tpu.data.anchors import v2_config_for_snapshot
         net_name = "darknet19_v2p" if args.passthrough else "darknet19_v2"
+        yolo = v2_config_for_snapshot(net_name, "voc_2007")
         params, stats = load_detector_params(
             yolo, args.tf_checkpoint, network_name=net_name)
     else:

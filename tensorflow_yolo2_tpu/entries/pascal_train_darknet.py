@@ -10,6 +10,8 @@ prefetch, per-term loss metrics.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -41,6 +43,17 @@ def main(argv: list[str] | None = None) -> int:
                         "reorg/passthrough head routing the H/16 512-ch "
                         "feature map into the detection head (YOLO9000 "
                         "fine-grained features)")
+    p.add_argument("--anchors", default="classic",
+                   choices=["classic", "kmeans"],
+                   help="with --v2: anchor priors. 'classic' = the "
+                        "YOLO9000 paper's published VOC clusters; "
+                        "'kmeans' = dimension clusters computed on THIS "
+                        "training set's boxes by IoU k-means "
+                        "(data.anchors.iou_kmeans — the paper's actual "
+                        "recipe). Priors persist to anchors.json in the "
+                        "snapshot dir so detect/eval serve with them")
+    p.add_argument("--num-anchors", type=int, default=5,
+                   help="k for --anchors kmeans (B follows it)")
     p.add_argument("--multiscale", default=None,
                    help="comma-separated input sizes (multiples of 32) to "
                         "cycle every 10 batches during --v2 training "
@@ -78,9 +91,30 @@ def main(argv: list[str] | None = None) -> int:
     save_every = args.save_every or 40_000  # reference :111
     dtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
 
+    if args.anchors == "kmeans" and not args.v2:
+        p.error("--anchors kmeans requires --v2 (the v1 head has no "
+                "anchor priors — SURVEY caveat)")
     if args.v2:
         from tensorflow_yolo2_tpu.config import yolo_v2_config
-        yolo = yolo_v2_config()
+        custom_anchors = None
+        if args.anchors == "kmeans":
+            # YOLO9000 dimension clusters: k-means with IoU distance on
+            # this training set's box shapes (the paper's prior recipe)
+            from tensorflow_yolo2_tpu.data.anchors import (
+                collect_voc_wh_cells,
+                iou_kmeans,
+            )
+            voc_path = args.data_path or os.path.join(
+                Paths().pascal, "VOC2007")
+            base = yolo_v2_config()
+            wh = collect_voc_wh_cells(voc_path, args.image_set, base.S,
+                                      base.image_size)
+            custom_anchors, avg_iou = iou_kmeans(wh, args.num_anchors)
+            print(f"dimension clusters (k={args.num_anchors}, "
+                  f"{len(wh)} boxes, avg best-IoU {avg_iou:.3f}): " +
+                  ", ".join(f"({w:.2f},{h:.2f})"
+                            for w, h in custom_anchors))
+        yolo = yolo_v2_config(anchors=custom_anchors)
         from tensorflow_yolo2_tpu.losses.yolo_v2 import yolo_v2_task
         task = yolo_v2_task(yolo)
         if args.passthrough:
@@ -149,6 +183,12 @@ def main(argv: list[str] | None = None) -> int:
         mesh=make_mesh_for_batch(batch_size))
     mgr = CheckpointManager(net_name, imdb.name, save_by_epoch=False,
                             paths=paths)
+    if args.v2:
+        # persist the priors next to the snapshots — detect/eval decode
+        # with exactly the anchors the head was trained against
+        # (data.anchors.v2_config_for_snapshot reads them back)
+        from tensorflow_yolo2_tpu.data.anchors import save_anchors
+        save_anchors(mgr.dir, yolo.anchors, yolo.S)
     writer = MetricsWriter(paths.tb_dirs(net_name, imdb.name, val=False)[0])
 
     # warm-start from the newest ImageNet classifier snapshot if present

@@ -96,6 +96,40 @@ def test_pascal_train_v2_anchor_head(tmp_root):
 
 
 @pytest.mark.slow
+def test_pascal_train_v2_kmeans_anchors(tmp_root):
+    """--anchors kmeans: dimension clusters computed on the training set,
+    persisted to anchors.json, and resolved by the detect entry (the
+    B=k head restores only if serving reads the same priors)."""
+    import json
+
+    from tensorflow_yolo2_tpu.entries import (
+        pascal_detect_darknet,
+        pascal_train_darknet,
+    )
+
+    voc = synthetic.make_voc(str(tmp_root / "data" / "VOCdevkit"),
+                             n_images=3)
+    rc = pascal_train_darknet.main([
+        "--v2", "--anchors", "kmeans", "--num-anchors", "3",
+        "--iters", "2", "--batch-size", "2", "--num-workers", "1",
+        "--save-every", "2", "--data-path", voc,
+        "--compute-dtype", "float32"])
+    assert rc == 0
+    anchors_json = (tmp_root / "ckpts" / "darknet19_v2" / "voc_2007" /
+                    "anchors.json")
+    assert anchors_json.exists()
+    payload = json.loads(anchors_json.read_text())
+    assert len(payload["anchors"]) == 3 and payload["S"] == 7
+
+    image = os.path.join(voc, "JPEGImages", "000000.jpg")
+    out_path = str(tmp_root / "out_v2_km.png")
+    rc = pascal_detect_darknet.main(
+        [image, "--v2", "--threshold", "0.05", "--nms", "--out", out_path])
+    assert rc == 0
+    assert os.path.exists(out_path)
+
+
+@pytest.mark.slow
 def test_train_classifier_entry_synthetic(tmp_root):
     from tensorflow_yolo2_tpu.entries import train_classifier
 
