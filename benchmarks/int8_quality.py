@@ -34,7 +34,7 @@ def main() -> None:
     from tensorflow_yolo2_tpu.utils.jaxsetup import enable_compilation_cache
     enable_compilation_cache()
 
-    from tensorflow_yolo2_tpu.config import YoloConfig, yolo_v2_config
+    from tensorflow_yolo2_tpu.config import YoloConfig
     from tensorflow_yolo2_tpu.data.voc import PascalVOC
     from tensorflow_yolo2_tpu.entries.pascal_detect_darknet import (
         load_detector_params,
@@ -43,7 +43,10 @@ def main() -> None:
     from tensorflow_yolo2_tpu.entries.pascal_eval_map import run_eval
 
     if args.v2:
-        yolo = yolo_v2_config()
+        # decode with the snapshot's persisted priors (anchors.json —
+        # k-means dimension clusters — when present)
+        from tensorflow_yolo2_tpu.data.anchors import v2_config_for_snapshot
+        yolo = v2_config_for_snapshot("darknet19_v2", "voc_2007")
         params, stats = load_detector_params(yolo,
                                              network_name="darknet19_v2")
     else:

@@ -47,6 +47,9 @@ def main() -> None:
                          "objects) + the YOLO9000 stabilizers (noobj "
                          "ignore threshold, burn-in prior loss, "
                          "(2-w*h) coord scale)")
+    ap.add_argument("--passthrough", action="store_true",
+                    help="with --v2: the full YOLOv2 reorg/passthrough "
+                         "head (pascal_train_darknet --passthrough)")
     ap.add_argument("--anchors", default="classic",
                     choices=["classic", "kmeans"],
                     help="with --v2: anchor priors — 'kmeans' computes "
@@ -71,6 +74,9 @@ def main() -> None:
                          "ImageNet→VOC workflow "
                          "(pascal_train_darknet.py:83)")
     args = ap.parse_args()
+    if args.passthrough and not args.v2:
+        ap.error("--passthrough requires --v2 (the reorg head is the "
+                 "anchor layout)")
     stages = [int(s) for s in args.stages.split(",")]
 
     from tensorflow_yolo2_tpu.utils.jaxsetup import enable_compilation_cache
@@ -129,10 +135,12 @@ def main() -> None:
              "--log-every", "50", "--uint8-transfer",
              "--bn-momentum", str(args.bn_momentum)]
             + (["--v2", "--anchors", args.anchors] if args.v2 else [])
+            + (["--passthrough"] if args.passthrough else [])
             + (["--multiscale", args.multiscale] if args.multiscale
                else []))
         assert rc == 0
         done = stage
+        net_name = "darknet19_v2p" if args.passthrough else "darknet19_v2"
         if args.v2:
             # resolve the priors the run trained with (anchors.json in
             # the snapshot dir — identical to classic unless --anchors
@@ -140,7 +148,7 @@ def main() -> None:
             from tensorflow_yolo2_tpu.data.anchors import (
                 v2_config_for_snapshot,
             )
-            yolo = v2_config_for_snapshot("darknet19_v2", "voc_2007")
+            yolo = v2_config_for_snapshot(net_name, "voc_2007")
         # Evaluation ground truth is pulled from the eval imdb's label
         # grid. Use the per-slot (multi-object) grid for GT in BOTH modes
         # so the mAP denominator counts every annotated object — the v1
@@ -150,11 +158,11 @@ def main() -> None:
 
         if args.v2:
             params, stats = load_detector_params(
-                yolo, network_name="darknet19_v2")
+                yolo, network_name=net_name)
         else:
             params, stats = load_detector_params(yolo)
         detect = make_detect_fn(yolo, params, stats, 0.005, use_nms=True,
-                                v2=args.v2)
+                                v2=args.v2, passthrough=args.passthrough)
         row = {"iters": stage}
         for split, set_name in (("train", "trainval"), ("val", "test")):
             imdb = PascalVOC(set_name, batch_size=8, yolo=eval_gt_yolo)
@@ -182,11 +190,12 @@ def main() -> None:
             syolo = yolo.at_scale(size // 32)
             if args.v2:
                 params, stats = load_detector_params(
-                    syolo, network_name="darknet19_v2")
+                    syolo, network_name=net_name)
             else:
                 params, stats = load_detector_params(syolo)
             detect = make_detect_fn(syolo, params, stats, 0.005,
-                                    use_nms=True, v2=args.v2)
+                                    use_nms=True, v2=args.v2,
+                                    passthrough=args.passthrough)
             imdb = PascalVOC("test", batch_size=8, yolo=syolo)
             mAP, _ = run_eval(detect, imdb, syolo,
                               max_images=args.eval_max_images)
