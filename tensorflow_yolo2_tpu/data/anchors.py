@@ -71,14 +71,17 @@ def iou_kmeans(wh: np.ndarray, k: int, iters: int = 100
         if assign is not None and np.array_equal(new_assign, assign):
             break
         assign = new_assign
+        # empty clusters reseed to successively worst-covered boxes; the
+        # coverage ranking is computed once against the pre-update
+        # centroids, but each reseed consumes a distinct box so two empty
+        # clusters in the same iteration can never collapse onto one
+        reseed_order = iter(np.argsort(np.max(iou, axis=1), kind="stable"))
         for j in range(k):
             members = wh[assign == j]
             if members.shape[0]:
                 centroids[j] = members.mean(axis=0)
             else:
-                # reseed an empty cluster to the worst-covered box
-                worst = np.argmin(np.max(iou, axis=1))
-                centroids[j] = wh[worst]
+                centroids[j] = wh[next(reseed_order)]
     area_order = np.argsort(centroids[:, 0] * centroids[:, 1],
                             kind="stable")
     centroids = centroids[area_order]
@@ -106,8 +109,10 @@ def collect_voc_wh_cells(data_path: str, image_set: str, S: int,
         size = tree.find("size")
         w = h = 0
         if size is not None:
-            w = int(float(size.find("width").text or 0))
-            h = int(float(size.find("height").text or 0))
+            # findtext tolerates a missing <width>/<height> child (the
+            # w<=0 cv2 fallback below then handles it)
+            w = int(float(size.findtext("width") or 0))
+            h = int(float(size.findtext("height") or 0))
         if w <= 0 or h <= 0:
             import cv2
             im = cv2.imread(os.path.join(data_path, "JPEGImages",
@@ -145,19 +150,65 @@ def save_anchors(ckpt_dir: str, anchors, S: int) -> str:
     return path
 
 
+def persist_anchors(ckpt_dir: str, anchors, S: int,
+                    has_snapshots: bool) -> str | None:
+    """:func:`save_anchors`, guarded against silently re-priring old runs.
+
+    ``anchors.json`` is shared by every snapshot in ``ckpt_dir``
+    (v2_config_for_snapshot decodes all of them with it). Overwriting it
+    when the dir already holds snapshots trained against *different*
+    priors would make their eval/detect decode wrong boxes with no error
+    — so when ``has_snapshots`` and the effective stored priors (the
+    file, or the classic fallback older runs decode with) differ from
+    ``anchors``, this refuses with an actionable error instead of
+    writing. Matching priors skip the rewrite entirely, so an
+    interrupted run can never corrupt a populated dir.
+    """
+    from tensorflow_yolo2_tpu.config import yolo_v2_config
+    new = np.asarray([[float(w), float(h)] for w, h in anchors])
+    stored = load_anchors(ckpt_dir, S)
+    if has_snapshots:
+        effective = (stored if stored is not None
+                     else yolo_v2_config(int(S) * 32).anchors)
+        effective = np.asarray(effective, np.float64).reshape(-1, 2)
+        if (effective.shape != new.shape
+                or not np.allclose(effective, new, rtol=1e-5, atol=1e-6)):
+            raise SystemExit(
+                f"{ckpt_dir} already contains snapshots trained against "
+                f"different anchor priors ({effective.tolist()} vs this "
+                f"run's {new.tolist()}). Retraining here would silently "
+                "re-prior their decode. Move/delete the old snapshots or "
+                "train under a different run root (TFY2_ROOT).")
+        if stored is not None:
+            return None  # identical priors already persisted
+    return save_anchors(ckpt_dir, anchors, S)
+
+
 def v2_config_for_snapshot(network_name: str = "darknet19_v2",
                            imdb_name: str = "voc_2007",
-                           image_size: int = 224, paths=None):
+                           image_size: int = 224, paths=None,
+                           external_weights: bool = False):
     """Anchor-head config matching a snapshot dir's persisted priors.
 
     Serving/eval must decode with the exact anchors the head was trained
     against; training writes them to ``anchors.json`` in the checkpoint
     dir (pascal_train_darknet). Falls back to the classic VOC priors
-    when none are persisted (pre-existing snapshots)."""
+    when none are persisted (pre-existing snapshots).
+
+    ``external_weights=True`` (serving ``--tf-checkpoint`` imports)
+    skips the local-snapshot-dir lookup entirely — a stale anchors.json
+    from an unrelated local training run must not re-prior an imported
+    checkpoint; such checkpoints decode with the classic priors. The
+    lookup is also a pure read: no checkpoint directories are created
+    as a side effect."""
     from tensorflow_yolo2_tpu.config import Paths, yolo_v2_config
     paths = paths or Paths()
     S = image_size // 32
-    stored = load_anchors(paths.ckpts_dir(network_name, imdb_name), S)
+    stored = None
+    if not external_weights:
+        # plain join, not Paths.ckpts_dir — reading must not mkdir
+        ckpt_dir = os.path.join(paths.ckpts, network_name, imdb_name)
+        stored = load_anchors(ckpt_dir, S)
     return yolo_v2_config(image_size, anchors=stored)
 
 

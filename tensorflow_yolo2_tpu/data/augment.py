@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import os as _os
 import random
-from dataclasses import dataclass
+from dataclasses import dataclass, replace as _replace
 
 import cv2
 import numpy as np
@@ -137,8 +137,16 @@ def augment_image(image: np.ndarray, cfg: AugmentConfig,
     """Apply the reference augmentation distribution to a uint8 image
     (BGR by default; set ``rgb=True`` for RGB inputs so the HSV color
     perturbation uses the right channel order); returns a float32
-    (image_size, image_size, 3) in [-1, 1]."""
-    out = normalize(augment_image_u8(image, cfg, rng, rgb=rgb))
+    (image_size, image_size, 3) in [-1, 1].
+
+    The ±ε sign-noise (ilsvrc_cls_multithread_scipy.py:364-369) is float
+    arithmetic, so it lives here: the uint8 ops delegate to
+    :func:`augment_image_u8` with ``random_noise`` stripped (the u8 helper
+    rejects it), then the noise draws happen AFTER every u8 draw — the two
+    paths therefore still see identical u8 augmentation sequences for the
+    same seed."""
+    u8_cfg = _replace(cfg, random_noise=False) if cfg.random_noise else cfg
+    out = normalize(augment_image_u8(image, u8_cfg, rng, rgb=rgb))
 
     if cfg.random_noise:
         eps = rng.choice([4, 8, 12, 16]) / 255.0 * 2.0

@@ -292,8 +292,9 @@ def main(argv: list[str] | None = None) -> int:
         from tensorflow_yolo2_tpu.data.anchors import v2_config_for_snapshot
         net_name = ("darknet19_v2p" if args.passthrough
                     else "darknet19_v2") + sd
-        yolo = v2_config_for_snapshot(net_name, "voc_2007",
-                                      args.image_size)
+        yolo = v2_config_for_snapshot(
+            net_name, "voc_2007", args.image_size,
+            external_weights=args.tf_checkpoint is not None)
         params, stats = (None, None) if args.int8_weights else \
             load_detector_params(
                 yolo, args.tf_checkpoint, network_name=net_name)

@@ -59,7 +59,9 @@ def main(argv: list[str] | None = None) -> int:
         # (anchors.json — k-means dimension clusters — when present)
         from tensorflow_yolo2_tpu.data.anchors import v2_config_for_snapshot
         net_name = "darknet19_v2p" if args.passthrough else "darknet19_v2"
-        yolo = v2_config_for_snapshot(net_name, "voc_2007")
+        yolo = v2_config_for_snapshot(
+            net_name, "voc_2007",
+            external_weights=args.tf_checkpoint is not None)
         params, stats = load_detector_params(
             yolo, args.tf_checkpoint, network_name=net_name)
     else:

@@ -186,9 +186,11 @@ def main(argv: list[str] | None = None) -> int:
     if args.v2:
         # persist the priors next to the snapshots — detect/eval decode
         # with exactly the anchors the head was trained against
-        # (data.anchors.v2_config_for_snapshot reads them back)
-        from tensorflow_yolo2_tpu.data.anchors import save_anchors
-        save_anchors(mgr.dir, yolo.anchors, yolo.S)
+        # (data.anchors.v2_config_for_snapshot reads them back); refuses
+        # if the dir already holds snapshots trained with different priors
+        from tensorflow_yolo2_tpu.data.anchors import persist_anchors
+        persist_anchors(mgr.dir, yolo.anchors, yolo.S,
+                        has_snapshots=mgr.latest_path() is not None)
     writer = MetricsWriter(paths.tb_dirs(net_name, imdb.name, val=False)[0])
 
     # warm-start from the newest ImageNet classifier snapshot if present

@@ -10,6 +10,7 @@ from tensorflow_yolo2_tpu.data.anchors import (
     collect_voc_wh_cells,
     iou_kmeans,
     load_anchors,
+    persist_anchors,
     save_anchors,
     v2_config_for_snapshot,
 )
@@ -95,6 +96,83 @@ def test_v2_config_for_snapshot(tmp_path, monkeypatch):
     np.testing.assert_allclose(np.asarray(cfg.anchors),
                                np.asarray(custom))
     assert cfg.cell_channels == 3 * 25
+
+
+def test_persist_anchors_guard(tmp_path):
+    """anchors.json is shared by every snapshot in the dir — a run with
+    different priors must refuse to re-prior a populated dir (advisor
+    round-3 medium finding)."""
+    d = str(tmp_path)
+    classic = yolo_v2_config().anchors
+    custom = [(0.4, 0.6), (1.0, 1.2), (3.0, 2.5), (5.0, 4.0), (8.0, 7.0)]
+
+    # empty dir: any priors write freely
+    assert persist_anchors(d, custom, S=7, has_snapshots=False) is not None
+    np.testing.assert_allclose(np.asarray(load_anchors(d, 7)),
+                               np.asarray(custom))
+    # populated dir + identical priors: no rewrite (None), file untouched
+    assert persist_anchors(d, custom, S=7, has_snapshots=True) is None
+    # populated dir + different priors: refuse
+    with pytest.raises(SystemExit):
+        persist_anchors(d, classic, S=7, has_snapshots=True)
+    # populated dir with NO anchors.json decodes via the classic fallback:
+    # writing non-classic priors would re-prior those snapshots → refuse,
+    # while re-affirming the classic priors is fine
+    d2 = str(tmp_path / "legacy")
+    import os
+    os.makedirs(d2)
+    with pytest.raises(SystemExit):
+        persist_anchors(d2, custom, S=7, has_snapshots=True)
+    assert persist_anchors(d2, classic, S=7, has_snapshots=True) is not None
+
+
+def test_v2_config_for_snapshot_external_weights(tmp_path, monkeypatch):
+    """--tf-checkpoint serving must not pick up a stale local
+    anchors.json, and the lookup must not mkdir (advisor low finding)."""
+    import os
+
+    monkeypatch.setenv("TFY2_ROOT", str(tmp_path))
+    paths = Paths()
+    ckpt_dir = os.path.join(paths.ckpts, "darknet19_v2", "voc_2007")
+    os.makedirs(ckpt_dir)
+    save_anchors(ckpt_dir, [(0.4, 0.6), (1.0, 1.2)], S=7)
+    cfg = v2_config_for_snapshot("darknet19_v2", "voc_2007", paths=paths,
+                                 external_weights=True)
+    assert cfg.anchors == yolo_v2_config().anchors  # classic, not stale
+    # pure read: resolving a config for a dir that doesn't exist must not
+    # create it
+    cfg = v2_config_for_snapshot("darknet19_v2p", "voc_2007", paths=paths)
+    assert not os.path.isdir(os.path.join(paths.ckpts, "darknet19_v2p"))
+
+
+def test_kmeans_empty_cluster_reseeds_distinct():
+    """Two clusters emptied in the same iteration must reseed to distinct
+    boxes (advisor low finding: duplicate-centroid survival)."""
+    # k far above the number of distinct shapes forces empty clusters
+    wh = np.array([[1.0, 1.0], [1.01, 1.0], [4.0, 4.0], [4.02, 4.0],
+                   [9.0, 9.0]], np.float64)
+    anchors, _ = iou_kmeans(wh, k=5)
+    # no two final centroids identical
+    for i in range(len(anchors)):
+        for j in range(i):
+            assert not np.array_equal(anchors[i], anchors[j])
+
+
+def test_collect_voc_wh_tolerates_empty_size_tag(tmp_path):
+    """<size> present but missing <width>/<height> children → cv2
+    fallback, not AttributeError (advisor low finding)."""
+    voc = synthetic.make_voc(str(tmp_path / "VOCdevkit"), n_images=2)
+    import os
+    import re
+    xmls = sorted(os.listdir(os.path.join(voc, "Annotations")))
+    p = os.path.join(voc, "Annotations", xmls[0])
+    with open(p) as f:
+        txt = f.read()
+    txt = re.sub(r"<width>\d+</width>", "", txt)
+    with open(p, "w") as f:
+        f.write(txt)
+    wh = collect_voc_wh_cells(voc, "trainval", S=7, image_size=224)
+    assert wh.shape[0] >= 2  # both images still contribute boxes
 
 
 def test_collect_voc_wh_matches_grid_math(tmp_path):

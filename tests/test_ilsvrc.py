@@ -54,6 +54,23 @@ def test_aug_and_pad_policies(tmp_root, ilsvrc_dir):
     assert (images == -1.0).any() or (np.abs(images) < 1.01).all()
 
 
+def test_random_noise_batch(tmp_root, ilsvrc_dir):
+    """The ±ε sign-noise float path (ilsvrc_cls_multithread_scipy.py:364-369)
+    must deliver augmented batches — regression test for the round-3 break
+    where augment_image handed a random_noise cfg to the u8 helper."""
+    imdb = IlsvrcCls("train", batch_size=2, image_size=32, data_aug=True,
+                     random_noise=True, data_path=ilsvrc_dir)
+    images, labels = imdb.get()
+    assert images.shape == (2, 32, 32, 3)
+    assert images.dtype == np.float32
+    assert images.min() >= -1.0 and images.max() <= 1.0
+    # noise-free twin of the same seed differs (the ±ε noise is applied)
+    clean = IlsvrcCls("train", batch_size=2, image_size=32, data_aug=True,
+                      data_path=ilsvrc_dir)
+    clean_images, _ = clean.get()
+    assert not np.array_equal(images, clean_images)
+
+
 @pytest.mark.slow
 def test_imagenet_train_and_test_entries(tmp_root, ilsvrc_dir):
     """imagenet_train_darknet (2 iters, epoch-named snapshot) then the
