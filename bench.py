@@ -143,7 +143,19 @@ def measure_tpu() -> dict:
     outs = [forward(folded, one) for _ in range(chain)]
     np.asarray(outs[-1].scores)
     device_ms = (time.perf_counter() - t0) / chain * 1000
+    # MFU: analytic conv FLOPs of the served graph ÷ chip peak — an
+    # efficiency view of the same measurement (VERDICT r3 item 8)
+    from tensorflow_yolo2_tpu.utils.profiling import (
+        V5E_PEAK_FLOPS,
+        conv_flops_per_image,
+    )
+    flops_per_image = conv_flops_per_image(_IMAGE)
+    peak = V5E_PEAK_FLOPS["int8" if _INT8 else "bf16"]
+    mfu = ips * flops_per_image / peak
+
     return {"images_per_sec": ips,
+            "mfu": mfu,
+            "flops_per_image": flops_per_image,
             "images_per_sec_min": float(np.min(nms_ips)),
             "images_per_sec_max": float(np.max(nms_ips)),
             "decode_only_images_per_sec": float(np.median(dec_ips)),
@@ -261,6 +273,7 @@ def main() -> int:
         "value": round(result["images_per_sec"], 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(vs, 2) if vs else None,
+        "mfu": round(result["mfu"], 4),
         "value_min": round(result["images_per_sec_min"], 2),
         "value_max": round(result["images_per_sec_max"], 2),
         "repeats": result["repeats"],

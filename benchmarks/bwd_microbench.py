@@ -6,6 +6,12 @@ reshape-based 2×2/2 pool whose grad is pure elementwise/reshape ops, and
 (b) a representative big conv. Usage:
 
     python benchmarks/bwd_microbench.py [batch]
+    python benchmarks/bwd_microbench.py [batch] --per-layer
+
+``--per-layer`` sweeps EVERY Darknet19 conv shape at 448² (isolated fwd
+and fwd+bwd TF/s each) so the aggregate conv-bwd MFU resolves into
+named layers (VERDICT r3 item 5): which layers run at the 94%-of-peak
+the head convs show, and which drag the average.
 """
 
 from __future__ import annotations
@@ -52,9 +58,71 @@ def reshape_pool(x):
     return jnp.max(x, axis=(2, 4))
 
 
+# every Darknet19-448 detection conv: (name, H, k, cin, cout)
+LAYERS_448 = [
+    ("bk.conv1", 448, 3, 3, 32), ("bk.conv2", 224, 3, 32, 64),
+    ("bk.conv3", 112, 3, 64, 128), ("bk.conv4", 112, 3, 128, 64),
+    ("bk.conv5", 112, 3, 64, 128), ("bk.conv6", 56, 3, 128, 256),
+    ("bk.conv7", 56, 1, 256, 128), ("bk.conv8", 56, 3, 128, 256),
+    ("bk.conv9", 28, 3, 256, 512), ("bk.conv10", 28, 1, 512, 256),
+    ("bk.conv11", 28, 3, 256, 512), ("bk.conv12", 28, 1, 512, 256),
+    ("bk.conv13", 28, 3, 256, 512), ("bk.conv14", 14, 3, 512, 1024),
+    ("bk.conv15", 14, 1, 1024, 512), ("bk.conv16", 14, 3, 512, 1024),
+    ("bk.conv17", 14, 1, 1024, 512), ("bk.conv18", 14, 3, 512, 1024),
+    ("hd.conv1", 14, 3, 1024, 1024), ("hd.conv2", 14, 3, 1024, 1024),
+    ("hd.conv3", 14, 3, 1024, 1024), ("hd.output", 14, 1, 1024, 30),
+]
+
+V5E_PEAK_TFS = 197.0
+
+
+def per_layer(batch: int) -> None:
+    """Isolated fwd / fwd+bwd sweep over every real layer shape."""
+    rng = np.random.RandomState(0)
+    print(f"per-layer conv sweep, batch {batch}, bf16 "
+          f"(TF/s vs {V5E_PEAK_TFS:.0f} peak; bwd = grads wrt x AND w, "
+          "3x fwd FLOPs)")
+    print("| layer | shape | fwd ms | fwd TF/s (MFU) | fwd+bwd ms | "
+          "eff TF/s (MFU) |")
+    print("|---|---|---|---|---|---|")
+    tot_f = tot_g = tot_flops = 0.0
+    for name, h, k, cin, cout in LAYERS_448:
+        x = jnp.asarray(rng.normal(0, 1, (batch, h, h, cin)), jnp.bfloat16)
+        w = jnp.asarray(rng.normal(0, 0.05, (k, k, cin, cout)),
+                        jnp.bfloat16)
+
+        def f(x, w, k=k):
+            pad = (k - 1) // 2
+            y = jax.lax.conv_general_dilated(
+                x, w, (1, 1), ((pad, pad), (pad, pad)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            return jnp.sum(y.astype(jnp.float32))
+
+        t_f = _time(jax.jit(f), x, w)
+        t_g = _time(jax.jit(jax.grad(f, argnums=(0, 1))), x, w)
+        flops = 2.0 * batch * h * h * k * k * cin * cout
+        tf_f = flops / t_f / 1e9
+        tf_g = 3 * flops / t_g / 1e9
+        tot_f += t_f
+        tot_g += t_g
+        tot_flops += flops
+        print(f"| {name} | {h}²×{cin}→{cout} k{k} | {t_f:7.2f} | "
+              f"{tf_f:5.0f} ({tf_f / V5E_PEAK_TFS:4.0%}) | {t_g:7.2f} | "
+              f"{tf_g:5.0f} ({tf_g / V5E_PEAK_TFS:4.0%}) |")
+    print(f"| TOTAL | | {tot_f:.1f} | "
+          f"{tot_flops / tot_f / 1e9:.0f} "
+          f"({tot_flops / tot_f / 1e9 / V5E_PEAK_TFS:.0%}) | "
+          f"{tot_g:.1f} | {3 * tot_flops / tot_g / 1e9:.0f} "
+          f"({3 * tot_flops / tot_g / 1e9 / V5E_PEAK_TFS:.0%}) |")
+
+
 def main() -> None:
     enable_compilation_cache()
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+    args = [a for a in sys.argv[1:] if not a.startswith("-")]
+    batch = int(args[0]) if args else 128
+    if "--per-layer" in sys.argv:
+        per_layer(batch)
+        return
     rng = np.random.RandomState(0)
 
     import flax.linen as nn

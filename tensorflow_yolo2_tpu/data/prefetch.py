@@ -277,6 +277,95 @@ class ProcessPrefetchLoader:
         self.close()
 
 
+def _classification_example(imdb: Any, entry: Any) -> tuple[Any, Any]:
+    """Default example reader for :class:`EpochShardedStream`: the
+    ``(path, class_index)`` entries + ``image_read`` convention shared by
+    the classification imdbs (IlsvrcCls, TFFlowers)."""
+    path, cls = entry
+    return imdb.image_read(path), cls
+
+
+class EpochShardedStream:
+    """Exactly-once-per-epoch sharding for :class:`ProcessPrefetchLoader`.
+
+    The reference's 10-process pool coordinates epoch rollover centrally —
+    drain every worker, reshuffle the global list, re-prime all workers
+    (ilsvrc2017_cls_multithread.py:269-284). This helper gives the same
+    guarantee with ZERO cross-process coordination: every worker derives
+    the SAME epoch-``e`` global permutation from ``(seed, e)`` and reads
+    its modulo slice ``perm_e[worker_id::num_workers]``. The slices
+    partition the index set, so across workers each example is delivered
+    exactly once per epoch, and every epoch boundary is a fresh,
+    globally-coordinated reshuffle — no drain barrier needed because the
+    permutation is a pure function, not shared state.
+
+    An instance IS the ``factory(worker_id, num_workers)`` callable that
+    :class:`ProcessPrefetchLoader` expects (also works single-process for
+    tests). ``imdb_factory`` must be a picklable module-level callable
+    building the worker's private imdb; it must be deterministic (every
+    worker sees the same ``gt_labels`` list — the imdbs' constructor-seed
+    shuffles satisfy this). ``example_fn(imdb, entry)`` maps one
+    ``gt_labels`` entry to ``(image, label)``; the default covers the
+    classification imdbs. Epoch remainders are delivered as a final
+    partial batch (``drop_remainder=True`` for fixed device shapes drops
+    ``len % (batch · workers)`` examples per epoch, like the reference's
+    ``len // batch_size`` schedule).
+
+    Finite ``epochs`` ends the stream (StopIteration → the loader's
+    end-of-stream after all workers drain); ``epochs=None`` streams
+    forever.
+    """
+
+    def __init__(self, imdb_factory: Callable[[], Any], batch_size: int,
+                 epochs: Optional[int] = None, seed: int = 0,
+                 example_fn: Optional[Callable[[Any, Any], tuple]] = None,
+                 drop_remainder: bool = False):
+        self._imdb_factory = imdb_factory
+        self._batch_size = batch_size
+        self._epochs = epochs
+        self._seed = seed
+        self._example_fn = example_fn
+        self._drop_remainder = drop_remainder
+
+    def epoch_slice(self, epoch: int, worker_id: int, num_workers: int,
+                    n: int) -> list[int]:
+        """Worker ``worker_id``'s index slice of epoch ``epoch`` — the
+        modulo slice of the epoch-keyed global permutation. Pure function
+        of its arguments: every worker computes identical permutations."""
+        import random as _random
+
+        perm = list(range(n))
+        _random.Random(self._seed * 1_000_003 + epoch).shuffle(perm)
+        return perm[worker_id::num_workers]
+
+    def __call__(self, worker_id: int, num_workers: int
+                 ) -> Callable[[], Any]:
+        import numpy as _np
+
+        imdb = self._imdb_factory()
+        example_fn = self._example_fn or _classification_example
+        n = len(imdb.gt_labels)
+
+        def batches():
+            epoch = 0
+            while self._epochs is None or epoch < self._epochs:
+                idxs = self.epoch_slice(epoch, worker_id, num_workers, n)
+                for lo in range(0, len(idxs), self._batch_size):
+                    part = idxs[lo:lo + self._batch_size]
+                    if self._drop_remainder and \
+                            len(part) < self._batch_size:
+                        break
+                    pairs = [example_fn(imdb, imdb.gt_labels[i])
+                             for i in part]
+                    images = _np.stack([p[0] for p in pairs])
+                    labels = _np.asarray([p[1] for p in pairs])
+                    yield images, labels
+                epoch += 1
+
+        it = batches()
+        return lambda: next(it)
+
+
 def device_prefetch(iterator: Iterator[Any], size: int = 2,
                     sharding: Any | None = None) -> Iterator[Any]:
     """Double-buffer host batches onto the device.

@@ -213,6 +213,207 @@ def spatial_yolo_loss_fn(mesh: Mesh, cfg, axis: str = "data",
     return loss_fn
 
 
+def _row_mask(h_local: int, axis_name: str, valid_h: int,
+              dtype) -> jnp.ndarray:
+    """(1, h_local, 1, 1) mask of globally-valid rows on this shard.
+
+    Row r of shard i is global row ``i·h_local + r``; rows ≥ ``valid_h``
+    are padding introduced to relax the H % 32n divisibility."""
+    idx = lax.axis_index(axis_name)
+    rows = idx * h_local + jnp.arange(h_local)
+    return (rows < valid_h).astype(dtype)[None, :, None, None]
+
+
+def _bn_sync(x: jnp.ndarray, bn: Mapping[str, jnp.ndarray],
+             axis_name: str, eps: float, count: float,
+             mask: jnp.ndarray | None
+             ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Train-mode BatchNorm with batch statistics psum-synced across the
+    spatial axis — the GSPMD sync-BN: each shard contributes its local
+    (masked) sums over (B, H_local, W) and every shard normalizes with
+    the identical global mean/var, exactly the statistics the unsharded
+    ``nn.BatchNorm`` computes over the full (B, H, W) batch. ``count`` is
+    the static number of VALID elements per channel; padded rows are
+    excluded from the sums by ``mask``."""
+    xm = x if mask is None else x * mask
+    s = lax.psum(jnp.sum(xm, axis=(0, 1, 2)), axis_name)
+    ss = lax.psum(jnp.sum(xm * xm, axis=(0, 1, 2)), axis_name)
+    mean = s / count
+    var = ss / count - mean * mean
+    y = (x - mean) * bn["scale"] * lax.rsqrt(var + eps) + bn["bias"]
+    return y, mean, var
+
+
+def _live_conv_bn(x, layer, axis_name, eps, valid_h, stats_out, key,
+                  activate=True):
+    """One ConvBN (conv+bias → sync-BN → leaky → re-mask) on an H-shard.
+
+    Records the layer's batch (mean, var) into ``stats_out[key]`` for the
+    moving-average update. Masking after the activation keeps padded rows
+    at exact zero so the next layer's halo exchange delivers zeros — the
+    same values SAME zero padding gives the unsharded net at the image's
+    bottom edge."""
+    p = layer["conv"]
+    k, b = p["kernel"], p["bias"]
+    if k.shape[0] == 3:
+        x = _conv(halo_exchange(x, axis_name), k, b, h_padding="VALID")
+    else:
+        x = _conv(x, k, b, h_padding="SAME")
+    n = lax.axis_size(axis_name)
+    h_local = x.shape[1]
+    padded = valid_h != h_local * n
+    mask = (_row_mask(h_local, axis_name, valid_h, x.dtype)
+            if padded else None)
+    count = float(x.shape[0] * valid_h * x.shape[2])
+    x, mean, var = _bn_sync(x, layer["bn"], axis_name, eps, count, mask)
+    stats_out[key] = {"mean": mean, "var": var}
+    if activate:
+        x = leaky_relu(x)
+    if mask is not None:
+        x = x * mask
+    return x
+
+
+def _sharded_detector_live(params, x, axis_name, valid_h, eps,
+                           bn_on_output, stats_out):
+    """UNFOLDED Darknet19 detector (trunk + head) with live sync-BN on
+    one H-shard. ``valid_h`` is the static un-padded input height;
+    ``stats_out`` collects every layer's batch stats (mirrors the Flax
+    ``batch_stats`` tree structure)."""
+    bstats: dict = {}
+    conv_i = 0
+    vh = valid_h
+    for item in _DARKNET19_SCHEDULE:
+        if item == "M":
+            x = lax.reduce_window(
+                x, -jnp.inf, lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "SAME")
+            vh = (vh + 1) // 2
+            # padded rows re-zero: a pool window fully inside the pad
+            # region maxes zeros to zero already, but keep it exact
+            n = lax.axis_size(axis_name)
+            if vh != x.shape[1] * n:
+                x = x * _row_mask(x.shape[1], axis_name, vh, x.dtype)
+            continue
+        conv_i += 1
+        x = _live_conv_bn(x, params["backbone"][f"conv{conv_i}"],
+                          axis_name, eps, vh, bstats,
+                          f"conv{conv_i}")
+    stats_out["backbone"] = {k: {"bn": v} for k, v in bstats.items()}
+    head = params["detection"]
+    hstats: dict = {}
+    for i in range(1, 4):
+        x = _live_conv_bn(x, head[f"conv{i}"], axis_name, eps, vh,
+                          hstats, f"conv{i}")
+    if bn_on_output:
+        x = _live_conv_bn(x, head["output"], axis_name, eps, vh,
+                          hstats, "output")
+    else:
+        p = head["output"]["conv"]
+        x = _conv(x, p["kernel"], p["bias"], h_padding="SAME")
+        n = lax.axis_size(axis_name)
+        if vh != x.shape[1] * n:
+            x = x * _row_mask(x.shape[1], axis_name, vh, x.dtype)
+    stats_out["detection"] = {k: {"bn": v} for k, v in hstats.items()}
+    return x.astype(jnp.float32)
+
+
+def spatial_yolo_train_fn(mesh: Mesh, cfg, axis: str = "data",
+                          bn_on_output: bool = True,
+                          bn_momentum: float = 0.99,
+                          bn_epsilon: float = 1e-3):
+    """H-sharded YOLO training with LIVE BatchNorm — the full training
+    semantics of the unsharded ``Trainer`` (train-mode batch statistics +
+    moving-average updates), spatially sharded.
+
+    Lifts both round-2/3 restrictions of :func:`spatial_yolo_loss_fn`:
+
+    - **live BN**, not folded/frozen: every ConvBN computes batch
+      statistics per H-shard and ``psum``s them over the spatial axis
+      (``_bn_sync`` — the GSPMD analog of sync-BN), so normalization and
+      the moving-stat update are bitwise the *global* (B, H, W) batch
+      statistics the unsharded ``nn.BatchNorm`` would compute;
+    - **no H % 32n requirement**: any H = 32·S input is padded up to the
+      next multiple of 32·n with zero rows and every layer re-masks the
+      pad region (``_row_mask``), making the padded rows invisible to
+      convs (they deliver the same zeros SAME-padding does), to BN sums,
+      and to the loss (padded grid rows and label rows are both zero).
+      S % n is likewise not required.
+
+    Returns ``step_fn(params, batch_stats, images, labels) ->
+    (loss, new_batch_stats)`` on the UNFOLDED param tree of
+    ``Darknet19Detector`` — differentiate wrt ``params`` for training;
+    ``new_batch_stats`` is the momentum moving-average update, identical
+    on every shard.
+    """
+    import numpy as np
+
+    from tensorflow_yolo2_tpu.losses.yolo import yolo_loss_term_sums
+
+    n = mesh.shape[axis]
+    # padded grid rows / image rows (next multiple of n / 32n)
+    Sp = -(-cfg.S // n) * n
+    Hp = 32 * Sp
+    rows = Sp // n
+    offset_np = np.zeros((Sp, cfg.S, cfg.B), np.float32)
+    offset_np[:cfg.S] = np.asarray(cfg.offset, np.float32)      # x-index
+    offset_t_np = np.zeros((Sp, cfg.S, cfg.B), np.float32)
+    offset_t_np[:cfg.S] = np.asarray(
+        cfg.offset, np.float32).transpose(1, 0, 2)              # y-index
+
+    def _local(params, stats, x, labels):
+        new_stats: dict = {}
+        grid = _sharded_detector_live(params, x, axis, 32 * cfg.S,
+                                      bn_epsilon, bn_on_output, new_stats)
+        idx = lax.axis_index(axis)
+        off = lax.dynamic_slice_in_dim(
+            jnp.asarray(offset_np), idx * rows, rows, 0)
+        off_t = lax.dynamic_slice_in_dim(
+            jnp.asarray(offset_t_np), idx * rows, rows, 0)
+        class_s, object_s, noobject_s, coord_s, _, _ = yolo_loss_term_sums(
+            grid, labels, cfg, offsets=(off, off_t))
+        local = jnp.mean(class_s + object_s + noobject_s + coord_s)
+        loss = lax.psum(local, axis)
+        # moving-average update from the (already psum-synced) batch
+        # stats — identical on all shards, replicated out_spec
+        updated = jax.tree_util.tree_map(
+            lambda old, new: bn_momentum * old + (1 - bn_momentum) * new,
+            stats, new_stats)
+        return loss, updated
+
+    fn = jax.jit(
+        jax.shard_map(
+            _local,
+            mesh=mesh,
+            in_specs=(P(), P(), P(None, axis, None, None),
+                      P(None, axis, None, None)),
+            out_specs=(P(), P()),
+        )
+    )
+
+    def step_fn(params, batch_stats, images, labels):
+        if images.shape[1] != 32 * cfg.S or images.shape[2] != 32 * cfg.S:
+            raise ValueError(
+                f"images {images.shape[1]}×{images.shape[2]} do not map "
+                f"to cfg's S={cfg.S} grid — expected "
+                f"{32 * cfg.S}×{32 * cfg.S}")
+        if labels.shape[1:3] != (cfg.S, cfg.S):
+            raise ValueError(
+                f"labels grid {labels.shape[1:3]} != (S, S) = "
+                f"({cfg.S}, {cfg.S})")
+        if Hp != 32 * cfg.S:  # pad rows to the shardable height
+            pad = Hp - 32 * cfg.S
+            images = jnp.pad(images, ((0, 0), (0, pad), (0, 0), (0, 0)))
+            labels = jnp.pad(labels, ((0, 0), (0, Sp - cfg.S), (0, 0),
+                                      (0, 0)))
+        images = jax.device_put(
+            images, NamedSharding(mesh, P(None, axis, None, None)))
+        labels = jax.device_put(
+            labels, NamedSharding(mesh, P(None, axis, None, None)))
+        return fn(params, batch_stats, images, labels)
+
+    return step_fn
+
+
 def spatial_backbone_fn(mesh: Mesh, axis: str = "data"):
     """Build a jitted H-sharded Darknet19 trunk forward.
 
