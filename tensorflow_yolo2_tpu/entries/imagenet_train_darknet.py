@@ -32,6 +32,13 @@ from tensorflow_yolo2_tpu.train.metrics import MetricsWriter
 from tensorflow_yolo2_tpu.train.trainer import Trainer, softmax_task
 
 
+def _train_imdb_factory(batch_size, data_path, seed, uint8):
+    """Module-level (picklable) imdb builder for the process-worker pool
+    — each child process owns a private IlsvrcCls."""
+    return IlsvrcCls("train", batch_size=batch_size, data_aug=True,
+                     data_path=data_path, seed=seed, uint8=uint8)
+
+
 def main(argv: list[str] | None = None) -> int:
     p = common.base_parser(__doc__)
     p.add_argument("--uint8-transfer", action="store_true",
@@ -39,6 +46,15 @@ def main(argv: list[str] | None = None) -> int:
                         "normalize on-chip (4x fewer host↔device bytes; "
                         "same pixel values — the training twin of the "
                         "uint8 serving path)")
+    p.add_argument("--process-workers", type=int, default=0,
+                   help="decode/augment in N worker PROCESSES with "
+                        "exactly-once-per-epoch modulo sharding "
+                        "(EpochShardedStream — the reference's 10-process "
+                        "pool with its coordinated epoch rollover, "
+                        "ilsvrc2017_cls_multithread.py:119-154,269-284). "
+                        "0 = thread prefetch (--num-workers); processes "
+                        "pay off when per-batch python work holds the "
+                        "GIL and real cores exist")
     args = p.parse_args(argv)
 
     from tensorflow_yolo2_tpu.utils.jaxsetup import enable_compilation_cache
@@ -87,13 +103,40 @@ def main(argv: list[str] | None = None) -> int:
     iters = (args.iters if args.iters
              else total_batch * (epochs - last_epoch))
     save_every = args.save_every or total_batch * save_every_epochs
-    state = common.run_train_loop(
-        trainer, state, train_imdb.get, mgr, writer,
-        start_iter=last_epoch * total_batch, num_iters=iters,
-        log_every=args.log_every, save_every=save_every,
-        num_workers=args.num_workers, eval_fn=eval_fn,
-        eval_every=args.eval_every, save_step_divisor=total_batch,
-        trace_dir=args.profile_dir)
+
+    get_batch = train_imdb.get
+    num_workers = args.num_workers
+    proc_loader = None
+    if args.process_workers:
+        import functools
+
+        from tensorflow_yolo2_tpu.data.prefetch import (
+            EpochShardedStream,
+            ProcessPrefetchLoader,
+        )
+
+        stream_factory = EpochShardedStream(
+            functools.partial(_train_imdb_factory, batch_size,
+                              args.data_path, args.seed,
+                              args.uint8_transfer),
+            batch_size=batch_size, seed=args.seed, drop_remainder=True)
+        proc_loader = ProcessPrefetchLoader(
+            stream_factory, num_workers=args.process_workers,
+            prefetch_size=2 * args.process_workers)
+        get_batch = lambda: next(proc_loader)  # noqa: E731
+        num_workers = 1  # one thread drains the process queue
+
+    try:
+        state = common.run_train_loop(
+            trainer, state, get_batch, mgr, writer,
+            start_iter=last_epoch * total_batch, num_iters=iters,
+            log_every=args.log_every, save_every=save_every,
+            num_workers=num_workers, eval_fn=eval_fn,
+            eval_every=args.eval_every, save_step_divisor=total_batch,
+            trace_dir=args.profile_dir)
+    finally:
+        if proc_loader is not None:
+            proc_loader.close()
     val_stream.close()
     writer.close()
     val_writer.close()

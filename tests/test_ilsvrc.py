@@ -72,6 +72,22 @@ def test_random_noise_batch(tmp_root, ilsvrc_dir):
 
 
 @pytest.mark.slow
+def test_imagenet_train_process_workers(tmp_root, ilsvrc_dir):
+    """--process-workers: the exactly-once epoch-sharded PROCESS pool
+    feeds the trainer end-to-end (the reference's 10-process loader
+    reachable from the CLI)."""
+    from tensorflow_yolo2_tpu.entries import imagenet_train_darknet
+
+    rc = imagenet_train_darknet.main([
+        "--iters", "2", "--batch-size", "4", "--process-workers", "2",
+        "--save-every", "2", "--eval-every", "2",
+        "--data-path", ilsvrc_dir, "--compute-dtype", "float32"])
+    assert rc == 0
+    ckpts = tmp_root / "ckpts" / "darknet19" / "ilsvrc_2017_cls"
+    assert any(p.name.startswith("train_") for p in ckpts.iterdir())
+
+
+@pytest.mark.slow
 def test_imagenet_train_and_test_entries(tmp_root, ilsvrc_dir):
     """imagenet_train_darknet (2 iters, epoch-named snapshot) then the
     imagenet_test_darknet accuracy/throughput harness end-to-end."""

@@ -1,0 +1,92 @@
+"""Fused Pallas stem (ops/pallas_stem): equivalence vs the XLA
+composition conv1+pool1+conv2+pool2 of the folded Darknet19 backbone.
+
+Interpret mode on CPU (the Mosaic layout constraints only bind when
+compiled — the @pytest.mark.tpu twin compiles on the chip via
+scripts/run_tpu_tests.sh)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tensorflow_yolo2_tpu.ops.pallas_stem import (
+    fused_stem,
+    stem_reference,
+)
+
+
+def _weights(rng, cin=3):
+    w1 = jnp.asarray(rng.normal(0, 0.3, (3, 3, cin, 32)), jnp.float32)
+    b1 = jnp.asarray(rng.normal(0, 0.2, (32,)), jnp.float32)
+    w2 = jnp.asarray(rng.normal(0, 0.1, (3, 3, 32, 64)), jnp.float32)
+    b2 = jnp.asarray(rng.normal(0, 0.2, (64,)), jnp.float32)
+    return w1, b1, w2, b2
+
+
+@pytest.mark.parametrize("h,w,batch", [(32, 32, 2), (64, 32, 1),
+                                       (56, 64, 1)])
+def test_fused_stem_matches_reference(h, w, batch):
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.uniform(-1, 1, (batch, h, w, 3)), jnp.float32)
+    w1, b1, w2, b2 = _weights(rng)
+    # float32 compute isolates the pipeline from bf16 rounding noise
+    got = np.asarray(fused_stem(x, w1, b1, w2, b2, interpret=True,
+                                dtype=jnp.float32))
+    want = np.asarray(stem_reference(x, w1, b1, w2, b2,
+                                     dtype=jnp.float32))
+    assert got.shape == want.shape == (batch, h // 4, w // 4, 64)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_fused_stem_matches_backbone_prefix():
+    """Against the real folded Darknet19Backbone's first two stages —
+    the weights/activation chain the serving graph actually runs."""
+    from tensorflow_yolo2_tpu.models.darknet import Darknet19Backbone
+    from tensorflow_yolo2_tpu.models.fold import fold_params
+
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.uniform(-1, 1, (2, 64, 64, 3)), jnp.float32)
+    model = Darknet19Backbone()
+    variables = model.init(jax.random.PRNGKey(0), x[:1, :32, :32],
+                           train=False)
+    folded = fold_params(variables["params"], variables["batch_stats"])
+    c1, c2 = folded["conv1"]["conv"], folded["conv2"]["conv"]
+    got = np.asarray(fused_stem(x, c1["kernel"], c1["bias"],
+                                c2["kernel"], c2["bias"],
+                                interpret=True, dtype=jnp.float32))
+    want = np.asarray(stem_reference(x, c1["kernel"], c1["bias"],
+                                     c2["kernel"], c2["bias"],
+                                     dtype=jnp.float32))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_fused_stem_bf16_close():
+    """bf16 kernel vs bf16 XLA reference — same dtype chain, only
+    accumulation order differs (kernel accumulates in f32 via
+    preferred_element_type, as does XLA's conv)."""
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.uniform(-1, 1, (1, 32, 32, 3)), jnp.float32)
+    w1, b1, w2, b2 = _weights(rng)
+    got = np.asarray(fused_stem(x, w1, b1, w2, b2, interpret=True,
+                                dtype=jnp.bfloat16).astype(jnp.float32))
+    want = np.asarray(stem_reference(x, w1, b1, w2, b2,
+                                     dtype=jnp.bfloat16)
+                      .astype(jnp.float32))
+    np.testing.assert_allclose(got, want, rtol=0.05, atol=0.05)
+
+
+@pytest.mark.tpu
+def test_fused_stem_compiled_on_tpu():
+    """Compiled Mosaic kernel vs XLA on the chip (run via
+    scripts/run_tpu_tests.sh; skipped on CPU)."""
+    if jax.default_backend() != "tpu":
+        pytest.skip("needs the TPU backend")
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.uniform(-1, 1, (2, 64, 64, 3)), jnp.float32)
+    w1, b1, w2, b2 = _weights(rng)
+    got = np.asarray(fused_stem(x, w1, b1, w2, b2,
+                                dtype=jnp.float32))
+    want = np.asarray(stem_reference(x, w1, b1, w2, b2,
+                                     dtype=jnp.float32))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
