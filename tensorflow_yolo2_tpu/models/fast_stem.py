@@ -91,24 +91,12 @@ def conv_pool_s2d(x_s2d: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
     return leaky_relu(acc + b.astype(dtype))
 
 
-def fast_detect_forward(folded_params: Mapping[str, Any], images: jnp.ndarray,
-                        dtype: Any = jnp.bfloat16) -> jnp.ndarray:
-    """Full folded Darknet19 detector forward with the s2d stem on the
-    first two conv+pool stages; layers 3+ run the normal schedule.
-
-    Numerically equivalent to Darknet19Detector(fold_bn=True) at
-    inference (pool windows never straddle — H, W must be multiples of
-    32 as usual).
-    """
+def detect_tail(folded_params: Mapping[str, Any], x: jnp.ndarray,
+                dtype: Any = jnp.bfloat16) -> jnp.ndarray:
+    """Folded Darknet19 detector forward AFTER the first two conv+pool
+    stages: ``x`` is the (B, H/4, W/4, 64) stage-2 output (from either
+    stem implementation); runs conv3..conv18 + detection head."""
     bk = folded_params["backbone"]
-    # stage 1: conv1 (3→32) + pool on s2d(input)
-    x = conv_pool_s2d(space_to_depth(images),
-                      bk["conv1"]["conv"]["kernel"],
-                      bk["conv1"]["conv"]["bias"], dtype)
-    # stage 2: conv2 (32→64) + pool on s2d of the stage-1 map
-    x = conv_pool_s2d(space_to_depth(x),
-                      bk["conv2"]["conv"]["kernel"],
-                      bk["conv2"]["conv"]["bias"], dtype)
 
     def conv(x, p, kernel_size):
         pad = (kernel_size - 1) // 2
@@ -137,3 +125,24 @@ def fast_detect_forward(folded_params: Mapping[str, Any], images: jnp.ndarray,
     for name, k in (("conv1", 3), ("conv2", 3), ("conv3", 3), ("output", 1)):
         x = conv(x, det[name]["conv"], k)
     return x.astype(jnp.float32)
+
+
+def fast_detect_forward(folded_params: Mapping[str, Any], images: jnp.ndarray,
+                        dtype: Any = jnp.bfloat16) -> jnp.ndarray:
+    """Full folded Darknet19 detector forward with the s2d stem on the
+    first two conv+pool stages; layers 3+ run the normal schedule.
+
+    Numerically equivalent to Darknet19Detector(fold_bn=True) at
+    inference (pool windows never straddle — H, W must be multiples of
+    32 as usual).
+    """
+    bk = folded_params["backbone"]
+    # stage 1: conv1 (3→32) + pool on s2d(input)
+    x = conv_pool_s2d(space_to_depth(images),
+                      bk["conv1"]["conv"]["kernel"],
+                      bk["conv1"]["conv"]["bias"], dtype)
+    # stage 2: conv2 (32→64) + pool on s2d of the stage-1 map
+    x = conv_pool_s2d(space_to_depth(x),
+                      bk["conv2"]["conv"]["kernel"],
+                      bk["conv2"]["conv"]["bias"], dtype)
+    return detect_tail(folded_params, x, dtype)

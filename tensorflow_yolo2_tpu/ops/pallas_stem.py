@@ -214,6 +214,26 @@ def fused_stem(x: jnp.ndarray, w1: jnp.ndarray, b1: jnp.ndarray,
     )(xs2d, wp, b1, w2m, b2)
 
 
+def pallas_detect_forward(folded_params, images: jnp.ndarray,
+                          dtype: Any = jnp.bfloat16,
+                          interpret: bool = False,
+                          strip_rows: int | None = None) -> jnp.ndarray:
+    """Full folded Darknet19 detector forward with the Pallas fused stem
+    on the first two conv+pool stages; conv3+ run the normal XLA
+    schedule (models.fast_stem.detect_tail). Numerically equivalent to
+    ``Darknet19Detector(fold_bn=True)`` at inference up to bf16
+    accumulation-order differences in the stem."""
+    from tensorflow_yolo2_tpu.models.fast_stem import detect_tail
+
+    bk = folded_params["backbone"]
+    c1, c2 = bk["conv1"]["conv"], bk["conv2"]["conv"]
+    x = fused_stem(images, c1["kernel"], c1["bias"],
+                   c2["kernel"], c2["bias"],
+                   interpret=interpret, dtype=dtype,
+                   strip_rows=strip_rows)
+    return detect_tail(folded_params, x, dtype)
+
+
 def stem_reference(x: jnp.ndarray, w1, b1, w2, b2,
                    dtype=jnp.bfloat16) -> jnp.ndarray:
     """XLA reference composition (conv+bias+leaky+pool ×2) for tests

@@ -76,6 +76,31 @@ def test_fused_stem_bf16_close():
     np.testing.assert_allclose(got, want, rtol=0.05, atol=0.05)
 
 
+def test_pallas_detect_forward_matches_standard():
+    """Composed serving forward (fused stem + detect_tail) vs the
+    standard folded Darknet19Detector — the integration the serving
+    path switches on (pascal_detect_darknet --pallas-stem)."""
+    from tensorflow_yolo2_tpu.config import YoloConfig
+    from tensorflow_yolo2_tpu.models.darknet import Darknet19Detector
+    from tensorflow_yolo2_tpu.models.fold import fold_params
+    from tensorflow_yolo2_tpu.ops.pallas_stem import pallas_detect_forward
+
+    rng = np.random.RandomState(11)
+    x = jnp.asarray(rng.uniform(-1, 1, (2, 64, 64, 3)), jnp.float32)
+    yolo = YoloConfig(S=2)
+    model = Darknet19Detector(output_channels=yolo.cell_channels,
+                              dtype=jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x[:1, :32, :32],
+                           train=False)
+    folded = fold_params(variables["params"], variables["batch_stats"])
+    fmodel = Darknet19Detector(output_channels=yolo.cell_channels,
+                               fold_bn=True, dtype=jnp.float32)
+    want = np.asarray(fmodel.apply({"params": folded}, x, train=False))
+    got = np.asarray(pallas_detect_forward(folded, x, dtype=jnp.float32,
+                                           interpret=True))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
 @pytest.mark.tpu
 def test_fused_stem_compiled_on_tpu():
     """Compiled Mosaic kernel vs XLA on the chip (run via
