@@ -40,6 +40,10 @@ _REPEATS = int(os.environ.get("BENCH_REPEATS", "3"))
 # int8×int8→int32 convs on the MXU (2× bf16 peak on v5e), int8 tensors
 # between layers. Accuracy parity evidence: benchmarks/int8_quality.py.
 _INT8 = os.environ.get("BENCH_INT8", "0") == "1"
+# BENCH_PALLAS_STEM=1 serves the first two conv+pool stages through the
+# fused Pallas VMEM stem (ops.pallas_stem) — A/B'd in
+# benchmarks/pallas_stem_bench.py
+_PALLAS_STEM = os.environ.get("BENCH_PALLAS_STEM", "0") == "1"
 
 
 def measure_tpu() -> dict:
@@ -82,6 +86,13 @@ def measure_tpu() -> dict:
 
         def _grid(params, images):
             return forward_int8(params, images)
+    elif _PALLAS_STEM:
+        from tensorflow_yolo2_tpu.ops.pallas_stem import (
+            pallas_detect_forward,
+        )
+
+        def _grid(params, images):
+            return pallas_detect_forward(params, images)
     else:
         def _grid(params, images):
             return fmodel.apply({"params": params}, images, train=False)
@@ -164,6 +175,7 @@ def measure_tpu() -> dict:
             "repeats": max(1, _REPEATS),
             "p50_ms": p50_ms,
             "device_latency_ms": device_ms, "int8": _INT8,
+            "pallas_stem": _PALLAS_STEM,
             "batch": _BATCH, "backend": jax.default_backend()}
 
 
@@ -286,6 +298,7 @@ def main() -> int:
         "batch": result["batch"],
         "backend": result["backend"],
         "int8": result["int8"],
+        "pallas_stem": result["pallas_stem"],
     }))
     return 0
 

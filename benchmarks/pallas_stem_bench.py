@@ -46,16 +46,19 @@ fmodel = Darknet19Detector(output_channels=yolo.cell_channels,
 c1 = folded["backbone"]["conv1"]["conv"]
 c2 = folded["backbone"]["conv2"]["conv"]
 
-# --- 1. compiled correctness probe (small batch, f32) ---
+# --- 1. compiled correctness probe (small batch, f32, small strips:
+# f32 intermediates at the default 14-row strip exceed the 16M scoped
+# VMEM stack limit; bf16 serving uses the default) ---
 xp = jnp.asarray(np.random.RandomState(7).uniform(-1, 1, (2, SIZE, SIZE, 3)),
                  jnp.float32)
 got = np.asarray(fused_stem(xp, c1["kernel"], c1["bias"],
-                            c2["kernel"], c2["bias"], dtype=jnp.float32))
+                            c2["kernel"], c2["bias"], dtype=jnp.float32,
+                            strip_rows=4))
 want = np.asarray(stem_reference(xp, c1["kernel"], c1["bias"],
                                  c2["kernel"], c2["bias"],
                                  dtype=jnp.float32))
 err = float(np.max(np.abs(got - want)))
-print(f"correctness (compiled, f32, 448²): max|Δ| = {err:.3e}")
+print(f"correctness (compiled, f32, 448²): max|Δ| = {err:.3e}", flush=True)
 assert err < 1e-3, err
 
 
@@ -70,19 +73,37 @@ def timeit(fn, *args, steps=STEPS):
 
 stem_xla = jax.jit(lambda x: stem_reference(x, c1["kernel"], c1["bias"],
                                             c2["kernel"], c2["bias"]))
-stem_pls = jax.jit(lambda x: fused_stem(x, c1["kernel"], c1["bias"],
-                                        c2["kernel"], c2["bias"]))
+
+
+def stem_pls_at(sr):
+    return jax.jit(lambda x: fused_stem(x, c1["kernel"], c1["bias"],
+                                        c2["kernel"], c2["bias"],
+                                        strip_rows=sr))
+
+
 fwd_std = jax.jit(lambda p, x: fmodel.apply({"params": p}, x, train=False))
-fwd_pls = jax.jit(pallas_detect_forward)
+
+
+def fwd_pls_at(sr):
+    return jax.jit(lambda p, x: pallas_detect_forward(p, x,
+                                                      strip_rows=sr))
+
 
 for batch in BATCHES:
     x = jax.device_put(jnp.asarray(np.random.RandomState(0).uniform(
         -1, 1, (batch, SIZE, SIZE, 3)), jnp.float32))
-    for name, fn, args in (
-            ("stem xla  ", stem_xla, (x,)),
-            ("stem pls  ", stem_pls, (x,)),
-            ("fwd  std  ", fwd_std, (folded, x)),
-            ("fwd  pls  ", fwd_pls, (folded, x))):
-        dt = timeit(fn, *args)
+    jobs = [("stem xla    ", stem_xla, (x,))]
+    jobs += [(f"stem pls r{sr:<2d}", stem_pls_at(sr), (x,))
+             for sr in (14, 8, 4)]
+    jobs += [("fwd  std    ", fwd_std, (folded, x))]
+    jobs += [(f"fwd  pls r{sr:<2d}", fwd_pls_at(sr), (folded, x))
+             for sr in (14, 8)]
+    for name, fn, args in jobs:
+        try:
+            dt = timeit(fn, *args)
+        except Exception as e:
+            print(f"B={batch:4d} {name} FAILED: {type(e).__name__} "
+                  f"{str(e)[:120]}", flush=True)
+            continue
         print(f"B={batch:4d} {name} {dt * 1e3:8.2f} ms "
               f"{batch / dt:8.0f} img/s", flush=True)

@@ -77,7 +77,8 @@ def make_detect_fn(yolo: YoloConfig, params, batch_stats,
                    nms_iou: float = 0.5, fold_bn: bool = True,
                    dtype=jnp.bfloat16, v2: bool = False,
                    int8: bool = False, calib_images=None,
-                   passthrough: bool = False, downsample: str = "pool"):
+                   passthrough: bool = False, downsample: str = "pool",
+                   pallas_stem: bool = False):
     """Build the jitted image→detections function (batched).
 
     ``v2`` selects the anchor head layout + decode (sigmoid-xy/exp-wh,
@@ -117,6 +118,19 @@ def make_detect_fn(yolo: YoloConfig, params, batch_stats,
         return _make_detect_fn_int8(yolo, params, batch_stats,
                                     object_thresh, use_nms, nms_iou, v2,
                                     calib_images)
+    if pallas_stem:
+        # the fused VMEM stem (ops.pallas_stem) replaces the first two
+        # conv+pool stages; it covers the sequential folded bf16 chain
+        if passthrough or int8:
+            raise ValueError("--pallas-stem covers the sequential "
+                             "Darknet19 chain (no passthrough route, "
+                             "no int8)")
+        if downsample != "pool":
+            raise ValueError("--pallas-stem fuses the pool-based stem; "
+                             "the stride variant has no pools to fuse")
+        if not (fold_bn and batch_stats):
+            raise ValueError("--pallas-stem serves the BN-folded chain; "
+                             "fold_bn=True with batch_stats is required")
     bn_on_output = not v2
 
     def build_model(folded: bool):
@@ -152,7 +166,17 @@ def make_detect_fn(yolo: YoloConfig, params, batch_stats,
             # (x/255)*2-1 here — XLA fuses it into the first conv, and
             # the value is bit-identical to host-side normalize
             images = images.astype(jnp.float32) / 255.0 * 2.0 - 1.0
-        grid = model.apply(variables, images, train=False)
+        if pallas_stem:
+            from tensorflow_yolo2_tpu.ops.pallas_stem import (
+                pallas_detect_forward,
+            )
+
+            grid = pallas_detect_forward(
+                variables["params"], images, dtype=dtype,
+                interpret=jax.default_backend() != "tpu",
+                linear_output=not bn_on_output)
+        else:
+            grid = model.apply(variables, images, train=False)
         if use_nms:
             # the fused Pallas decode+NMS serving kernel (same survivor
             # set as decode_grid[_v2] + nms_fixed; dispatches on the
@@ -257,6 +281,12 @@ def main(argv: list[str] | None = None) -> int:
                    help="multiscale input (multiple of 32); the net is "
                         "fully convolutional, the grid scales to S=size/32 "
                         "(448 is the headline Darknet19-448 config)")
+    p.add_argument("--pallas-stem", action="store_true",
+                   help="serve the first two conv+pool stages through "
+                        "the fused Pallas VMEM stem (ops.pallas_stem) "
+                        "instead of the XLA composition — the conv1 "
+                        "activation never touches HBM (bf16 folded "
+                        "chain, pool downsample only)")
     args = p.parse_args(argv)
 
     from tensorflow_yolo2_tpu.utils.jaxsetup import enable_compilation_cache
@@ -334,7 +364,8 @@ def main(argv: list[str] | None = None) -> int:
                                 use_nms=use_nms,
                                 fold_bn=not args.no_fold_bn, v2=args.v2,
                                 passthrough=args.passthrough,
-                                downsample=args.downsample)
+                                downsample=args.downsample,
+                                pallas_stem=args.pallas_stem)
     dets = detect(image[None])
     boxes = np.asarray(dets.boxes[0])
     scores = np.asarray(dets.scores[0])

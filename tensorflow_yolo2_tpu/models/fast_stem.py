@@ -92,19 +92,25 @@ def conv_pool_s2d(x_s2d: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
 
 
 def detect_tail(folded_params: Mapping[str, Any], x: jnp.ndarray,
-                dtype: Any = jnp.bfloat16) -> jnp.ndarray:
+                dtype: Any = jnp.bfloat16,
+                linear_output: bool = False) -> jnp.ndarray:
     """Folded Darknet19 detector forward AFTER the first two conv+pool
     stages: ``x`` is the (B, H/4, W/4, 64) stage-2 output (from either
-    stem implementation); runs conv3..conv18 + detection head."""
+    stem implementation); runs conv3..conv18 + detection head.
+    ``linear_output`` drops the leaky on the final 1×1 conv — the
+    anchor-head layout (Darknet19Detector(bn_on_output=False), the
+    pascal_train_darknet --v2 convention); default False matches the
+    reference's BN+leaky-on-output quirk."""
     bk = folded_params["backbone"]
 
-    def conv(x, p, kernel_size):
+    def conv(x, p, kernel_size, act=True):
         pad = (kernel_size - 1) // 2
         y = lax.conv_general_dilated(
             x, p["kernel"].astype(dtype), (1, 1),
             ((pad, pad), (pad, pad)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
-        return leaky_relu(y + p["bias"].astype(dtype))
+        y = y + p["bias"].astype(dtype)
+        return leaky_relu(y) if act else y
 
     conv_i = 0
     pools_seen = 0
@@ -123,7 +129,8 @@ def detect_tail(folded_params: Mapping[str, Any], x: jnp.ndarray,
 
     det = folded_params["detection"]
     for name, k in (("conv1", 3), ("conv2", 3), ("conv3", 3), ("output", 1)):
-        x = conv(x, det[name]["conv"], k)
+        x = conv(x, det[name]["conv"], k,
+                 act=not (linear_output and name == "output"))
     return x.astype(jnp.float32)
 
 

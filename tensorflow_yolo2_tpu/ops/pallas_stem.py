@@ -97,18 +97,18 @@ def _im2col2(x: jnp.ndarray, di: int, dj: int) -> jnp.ndarray:
     return jnp.concatenate(cols, axis=-1)
 
 
-def _pool2(x: jnp.ndarray) -> jnp.ndarray:
-    """2×2/2 max pool of (R, W, C) via strided slicing (even R, W)."""
-    a = jnp.maximum(x[0::2], x[1::2])
-    return jnp.maximum(a[:, 0::2], a[:, 1::2])
-
-
-def _stem_kernel(x_ref, wp_ref, b1_ref, w2_ref, b2_ref, out_ref, *,
+def _stem_kernel(x_ref, wp_ref, b1_ref, w2_ref, b2_ref, out_ref,
+                 y2_ref, a_ref, *,
                  r2: int, h2: int, n_strips: int, dtype):
     """One grid step = one image. x_ref: (1, H/2+4, W/2, 12) s2d input
     with TWO zero rows of padding above and below (wrapper pads);
     wp_ref: (4, 48, 32) phase kernels; w2_ref: (288, 64).
-    out_ref: (1, H/4, W/4, 64).
+    out_ref: (1, H/4, W/4, 64). y2_ref/a_ref: VMEM scratch for the
+    2×2/2 pool — strided VALUE slices don't lower on Mosaic
+    (vector.extract_strided_slice caps strides at 1, and jnp's x[0::2]
+    routes through an unsupported >2D gather), but strided REF loads
+    (tpu.strided_load) do, so the pool stores y2 and reads it back
+    even/odd.
     """
     w2m = w2_ref[:].astype(dtype)
     b1 = b1_ref[:].astype(jnp.float32)
@@ -152,8 +152,10 @@ def _stem_kernel(x_ref, wp_ref, b1_ref, w2_ref, b2_ref, out_ref, *,
         y2 = jax.lax.dot_general(
             patches2, w2m, (((2,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        y2 = _leaky(y2 + b2).astype(dtype)             # (2r2, W2, 64)
-        out_ref[0, r2 * s:r2 * (s + 1)] = _pool2(y2).astype(out_ref.dtype)
+        y2_ref[:] = _leaky(y2 + b2).astype(dtype)      # (2r2, W2, 64)
+        a_ref[:] = jnp.maximum(y2_ref[0::2], y2_ref[1::2])  # row pool
+        out_ref[0, r2 * s:r2 * (s + 1)] = jnp.maximum(
+            a_ref[:, 0::2], a_ref[:, 1::2]).astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit,
@@ -205,6 +207,8 @@ def fused_stem(x: jnp.ndarray, w1: jnp.ndarray, b1: jnp.ndarray,
         out_specs=pl.BlockSpec((1, h4, w4, c2), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h4, w4, c2), dtype),
+        scratch_shapes=[pltpu.VMEM((2 * r2, w // 2, c2), dtype),
+                        pltpu.VMEM((r2, w // 2, c2), dtype)],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * b * ((h // 2) * (w // 2) * 4 * 16 * cin * c1 +
@@ -217,12 +221,14 @@ def fused_stem(x: jnp.ndarray, w1: jnp.ndarray, b1: jnp.ndarray,
 def pallas_detect_forward(folded_params, images: jnp.ndarray,
                           dtype: Any = jnp.bfloat16,
                           interpret: bool = False,
-                          strip_rows: int | None = None) -> jnp.ndarray:
+                          strip_rows: int | None = None,
+                          linear_output: bool = False) -> jnp.ndarray:
     """Full folded Darknet19 detector forward with the Pallas fused stem
     on the first two conv+pool stages; conv3+ run the normal XLA
     schedule (models.fast_stem.detect_tail). Numerically equivalent to
     ``Darknet19Detector(fold_bn=True)`` at inference up to bf16
-    accumulation-order differences in the stem."""
+    accumulation-order differences in the stem. ``linear_output``
+    matches bn_on_output=False (the --v2 anchor head)."""
     from tensorflow_yolo2_tpu.models.fast_stem import detect_tail
 
     bk = folded_params["backbone"]
@@ -231,7 +237,8 @@ def pallas_detect_forward(folded_params, images: jnp.ndarray,
                    c2["kernel"], c2["bias"],
                    interpret=interpret, dtype=dtype,
                    strip_rows=strip_rows)
-    return detect_tail(folded_params, x, dtype)
+    return detect_tail(folded_params, x, dtype,
+                       linear_output=linear_output)
 
 
 def stem_reference(x: jnp.ndarray, w1, b1, w2, b2,

@@ -101,6 +101,67 @@ def test_pallas_detect_forward_matches_standard():
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
 
+def test_pallas_detect_forward_linear_output_v2():
+    """linear_output=True matches the bn_on_output=False (anchor-head)
+    model: no leaky on the final 1×1 conv."""
+    from tensorflow_yolo2_tpu.config import yolo_v2_config
+    from tensorflow_yolo2_tpu.models.darknet import Darknet19Detector
+    from tensorflow_yolo2_tpu.models.fold import fold_params
+    from tensorflow_yolo2_tpu.ops.pallas_stem import pallas_detect_forward
+
+    rng = np.random.RandomState(12)
+    x = jnp.asarray(rng.uniform(-1, 1, (1, 64, 64, 3)), jnp.float32)
+    yolo = yolo_v2_config(64)
+    model = Darknet19Detector(output_channels=yolo.cell_channels,
+                              bn_on_output=False, dtype=jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x[:, :32, :32],
+                           train=False)
+    folded = fold_params(variables["params"], variables["batch_stats"])
+    fmodel = Darknet19Detector(output_channels=yolo.cell_channels,
+                               bn_on_output=False, fold_bn=True,
+                               dtype=jnp.float32)
+    want = np.asarray(fmodel.apply({"params": folded}, x, train=False))
+    got = np.asarray(pallas_detect_forward(folded, x, dtype=jnp.float32,
+                                           interpret=True,
+                                           linear_output=True))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_make_detect_fn_pallas_stem_wiring():
+    """The --pallas-stem serving path produces the same detections as
+    the standard path (CPU interpret), and the guards fire."""
+    from tensorflow_yolo2_tpu.config import YoloConfig
+    from tensorflow_yolo2_tpu.entries.pascal_detect_darknet import (
+        make_detect_fn,
+    )
+    from tensorflow_yolo2_tpu.models.darknet import Darknet19Detector
+
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.uniform(-1, 1, (1, 64, 64, 3)), jnp.float32)
+    yolo = YoloConfig(S=2, image_size=64)
+    model = Darknet19Detector(output_channels=yolo.cell_channels,
+                              dtype=jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x[:, :32, :32],
+                           train=False)
+    params, stats = variables["params"], variables["batch_stats"]
+    kwargs = dict(object_thresh=0.0, use_nms=True, dtype=jnp.float32)
+    std = make_detect_fn(yolo, params, stats, **kwargs)(x)
+    pls = make_detect_fn(yolo, params, stats, pallas_stem=True,
+                         **kwargs)(x)
+    np.testing.assert_allclose(np.asarray(pls.scores),
+                               np.asarray(std.scores), rtol=1e-4,
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(pls.boxes),
+                               np.asarray(std.boxes), rtol=1e-3,
+                               atol=1e-3)
+    with pytest.raises(ValueError, match="stride"):
+        make_detect_fn(yolo, params, stats, pallas_stem=True,
+                       downsample="stride", **kwargs)
+    with pytest.raises(ValueError, match="fold"):
+        make_detect_fn(yolo, params, stats, pallas_stem=True,
+                       fold_bn=False, **kwargs)
+
+
 @pytest.mark.tpu
 def test_fused_stem_compiled_on_tpu():
     """Compiled Mosaic kernel vs XLA on the chip (run via
