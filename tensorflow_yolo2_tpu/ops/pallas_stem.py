@@ -1,8 +1,24 @@
 """Pallas fused Darknet19 stem: conv1+pool1+conv2+pool2 in one VMEM pass.
 
-The serving profile (models/fast_stem.py:3-7, benchmarks/
-profile_breakdown.py) shows the first two conv+pool stages dominating
-the detect-448 forward at single-digit vector-lane utilization: XLA
+**Measured result (v5e, 448², benchmarks/pallas_stem_bench.py +
+round-4 probes): NEGATIVE — XLA wins by ~3.8×.** Compiled-on-TPU
+correctness holds (f32 max|Δ| 5.2e-4 vs the XLA composition; bf16
+0.016, rounding-consistent), but the kernel serves the stem at
+~0.335 ms/image against XLA's 0.088 ms/image at batch 256. Two causes,
+both structural: (1) the phase matmuls contract K=48 onto N=32 lanes —
+single-digit MXU utilization that no VMEM-residency saving repays at
+these shapes; (2) an axon remote-compile bug caps the grid: identical
+kernels compile at grid ∈ {2, 4} and crash the Mosaic helper
+(tpu_compile_helper exit 1, dtype-independent) at grid ≥ 8, forcing
+batch>4 through a sequential lax.map chunking that serializes
+dispatch. The batch-256 profile also corrects the round-3 premise: the
+stem is 32.5% of the detect-448 forward at the headline batch
+(22.4 ms of 69.0), not ~66% — that figure was measured at batch 32
+(11.9 of 17.2 ms), where per-layer overheads dominate. Kept as a
+tested opt-in (pascal_detect_darknet --pallas-stem, BENCH_PALLAS_STEM)
+like the pool-backward negative (ops/pallas_pool.py).
+
+The original motivation (profile at models/fast_stem.py:3-7): XLA
 materializes the 448²×32 conv1 activation to HBM (12.8 MB/image, read
 back by the pool) and the 3-channel conv1 shape starves the 128×128
 MXU. This kernel (VERDICT r3 item 4 — the Pallas attempt after round
@@ -44,9 +60,11 @@ from tensorflow_yolo2_tpu.models.fast_stem import phase_kernel
 from tensorflow_yolo2_tpu.models.layers import space_to_depth
 
 
-def _pick_strip_rows(h4: int, target: int = 14) -> int:
+def _pick_strip_rows(h4: int, target: int = 8) -> int:
     """Largest divisor of ``h4`` (output rows) ≤ ``target`` — strip
-    height balances VMEM footprint against grid overhead."""
+    height balances VMEM footprint against grid overhead (at 448² the
+    14-row strip's intermediates overflow the 16M scoped-VMEM stack by
+    ~1M; 8 rows fits with ~5M headroom)."""
     for r in range(min(target, h4), 0, -1):
         if h4 % r == 0:
             return r
@@ -152,10 +170,19 @@ def _stem_kernel(x_ref, wp_ref, b1_ref, w2_ref, b2_ref, out_ref,
         y2 = jax.lax.dot_general(
             patches2, w2m, (((2,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        y2_ref[:] = _leaky(y2 + b2).astype(dtype)      # (2r2, W2, 64)
+        # pool staging is f32: strided ref loads on 16-bit (16, 128)
+        # packed tiles crash the Mosaic compiler; the (8, 128) f32
+        # layout is the probed-working path
+        y2_ref[:] = _leaky(y2 + b2)                    # (2r2, W2, 64) f32
         a_ref[:] = jnp.maximum(y2_ref[0::2], y2_ref[1::2])  # row pool
         out_ref[0, r2 * s:r2 * (s + 1)] = jnp.maximum(
             a_ref[:, 0::2], a_ref[:, 1::2]).astype(out_ref.dtype)
+
+
+# largest pallas_call grid the axon remote Mosaic helper accepts for
+# this kernel (grid 8+ crashes tpu_compile_helper, dtype-independent);
+# larger batches run as a sequential lax.map over chunks of this size
+_MAX_GRID = 4
 
 
 @functools.partial(jax.jit,
@@ -171,6 +198,17 @@ def fused_stem(x: jnp.ndarray, w1: jnp.ndarray, b1: jnp.ndarray,
     (3, 3, 32, 64) + b2. Returns (B, H/4, W/4, 64) in ``dtype``.
     """
     b, h, w, cin = x.shape
+    if not interpret and b > _MAX_GRID:
+        # chunked dispatch around the helper's grid cap; pad the ragged
+        # tail chunk
+        pad = (-b) % _MAX_GRID
+        xp = jnp.pad(x, ((0, pad), (0, 0), (0, 0), (0, 0))) if pad else x
+        xc = xp.reshape(-1, _MAX_GRID, h, w, cin)
+        y = jax.lax.map(
+            lambda c: fused_stem(c, w1, b1, w2, b2, interpret=interpret,
+                                 dtype=dtype, strip_rows=strip_rows), xc)
+        y = y.reshape(-1, h // 4, w // 4, y.shape[-1])
+        return y[:b] if pad else y
     assert h % 4 == 0 and w % 4 == 0, (h, w)
     c1 = w1.shape[-1]
     c2 = w2.shape[-1]
@@ -207,8 +245,8 @@ def fused_stem(x: jnp.ndarray, w1: jnp.ndarray, b1: jnp.ndarray,
         out_specs=pl.BlockSpec((1, h4, w4, c2), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h4, w4, c2), dtype),
-        scratch_shapes=[pltpu.VMEM((2 * r2, w // 2, c2), dtype),
-                        pltpu.VMEM((r2, w // 2, c2), dtype)],
+        scratch_shapes=[pltpu.VMEM((2 * r2, w // 2, c2), jnp.float32),
+                        pltpu.VMEM((r2, w // 2, c2), jnp.float32)],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * b * ((h // 2) * (w // 2) * 4 * 16 * cin * c1 +
