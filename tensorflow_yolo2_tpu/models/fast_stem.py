@@ -1,9 +1,13 @@
-"""Space-to-depth stem: the TPU fast path for the first Darknet19 layers.
+"""Space-to-depth stem: a TPU fast-path *candidate* for the first
+Darknet19 layers (measured negative — see below and ops/pallas_stem).
 
-Profiling (benchmarks/profile_breakdown.py) shows the first two
-conv+pool stages cost ~66% of the whole detect-448 step: 3- and
+Profiling (benchmarks/profile_breakdown.py) showed the first two
+conv+pool stages cost ~66% of the detect-448 step **at batch 32**; the
+round-4 batch-256 re-profile (benchmarks/pallas_stem_bench.py) puts
+them at 32.5% at the headline batch (22.4 of 69.0 ms) — 3- and
 32-channel activations occupy 128-wide vector lanes at 2-25%
-utilization, so the stem is layout-bound, not FLOP-bound.
+utilization, so the stem is layout-bound, not FLOP-bound, but XLA's
+composition already runs at ~68% of its pure-bandwidth bound there.
 
 The exact rewrite: for a stride-1 3×3 conv (+bias, leaky) followed by a
 2×2/2 max pool,
