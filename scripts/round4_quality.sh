@@ -21,6 +21,9 @@ cd "$(dirname "$0")/.."
 run() { echo "==== $* ===="; "$@"; }
 
 export TFY2_ROOT="$ROOT"
+# one shared compile cache across all roots (the _ms/_fix stages would
+# otherwise each pay fresh remote compiles under their own TFY2_ROOT)
+export TFY2_COMPILE_CACHE="${TFY2_COMPILE_CACHE:-$ROOT/jax_cache}"
 mkdir -p "$ROOT"
 
 # ---- v1 curve (generates fixture + pretrain on first run) ----
