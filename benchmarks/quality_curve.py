@@ -65,6 +65,13 @@ def main() -> None:
                          "train-once/serve-at-any-resolution claim of "
                          "multiscale training — the fully-convolutional "
                          "detector re-grids at S=size/32)")
+    ap.add_argument("--grad-clip", type=float, default=None,
+                    help="forwarded to pascal_train_darknet --grad-clip")
+    ap.add_argument("--lr-decay", default=None,
+                    choices=["fixed", "cosine", "exponential"],
+                    help="forwarded to pascal_train_darknet --lr-decay "
+                         "(NOTE: the schedule spans each stage's delta, "
+                         "not the cumulative curve)")
     ap.add_argument("--pretrain-iters", type=int, default=0,
                     help="first pretrain the darknet19 classifier for N "
                          "iterations on a synthetic CLS-LOC tree of the "
@@ -137,7 +144,10 @@ def main() -> None:
             + (["--v2", "--anchors", args.anchors] if args.v2 else [])
             + (["--passthrough"] if args.passthrough else [])
             + (["--multiscale", args.multiscale] if args.multiscale
-               else []))
+               else [])
+            + (["--grad-clip", str(args.grad_clip)]
+               if args.grad_clip is not None else [])
+            + (["--lr-decay", args.lr_decay] if args.lr_decay else []))
         assert rc == 0
         done = stage
         net_name = "darknet19_v2p" if args.passthrough else "darknet19_v2"

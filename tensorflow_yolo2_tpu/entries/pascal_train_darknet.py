@@ -75,6 +75,18 @@ def main(argv: list[str] | None = None) -> int:
                    help="BatchNorm moving-stat momentum (reference "
                         "tf.layers default 0.99; lower it for short "
                         "runs so eval-time folded stats keep up)")
+    p.add_argument("--grad-clip", type=float, default=None,
+                   metavar="NORM",
+                   help="global-norm gradient clipping (darknet's own "
+                        "recipes clip; the anchor loss can spike late "
+                        "in training without it)")
+    p.add_argument("--lr-decay", default="fixed",
+                   choices=["fixed", "cosine", "exponential"],
+                   help="LR schedule over --iters (cosine decays to 0 "
+                        "across the run; exponential uses "
+                        "--lr-decay-factor per iters/4 steps). The "
+                        "reference's Adam is fixed-LR — the default")
+    p.add_argument("--lr-decay-factor", type=float, default=0.5)
     args = p.parse_args(argv)
     if args.multiscale and not args.v2:
         p.error("--multiscale requires --v2 (the anchor loss is "
@@ -176,10 +188,15 @@ def main(argv: list[str] | None = None) -> int:
                 cur = imdbs[ms_state["size"]]
             return cur.get()
     paths = Paths()
+    sched = LRScheduleConfig(
+        kind=args.lr_decay, learning_rate=lr,
+        decay_steps=max(1, iters if args.lr_decay == "cosine"
+                        else iters // 4),
+        decay_factor=args.lr_decay_factor)
     trainer = Trainer(
         model, task,
-        OptimizerConfig(name="adam",
-                        schedule=LRScheduleConfig(learning_rate=lr)),
+        OptimizerConfig(name="adam", schedule=sched,
+                        grad_clip_norm=args.grad_clip),
         mesh=make_mesh_for_batch(batch_size))
     mgr = CheckpointManager(net_name, imdb.name, save_by_epoch=False,
                             paths=paths)
