@@ -165,15 +165,23 @@ def run_train_loop(trainer: Trainer, state: TrainState,
                 # route on ndim (no device fetch); array-valued metrics
                 # are only materialized on the log cadence below
                 (hists if getattr(v, "ndim", 0) else vals)[k] = v
-            writer.scalars(it, {k: float(np.asarray(v))
-                                for k, v in vals.items()})
+            # ONE stacked fetch for all scalars: under the axon tunnel
+            # every blocking np.asarray costs a ~25 ms round trip, so
+            # per-scalar fetches made the fetch — not the device step —
+            # the training wall (~8 RTT/iter at the YOLO losses' metric
+            # count); the stack is one async dispatch + one fetch
+            if vals:
+                import jax.numpy as _jnp
+
+                packed = np.asarray(_jnp.stack(list(vals.values())))
+                vals = dict(zip(vals.keys(), (float(x) for x in packed)))
+            writer.scalars(it, vals)
             if it % log_every == 0:
                 # distribution metrics (reference loss histograms,
                 # net_utils.py:361-370) on the log cadence only
                 for k, arr in hists.items():
                     writer.histogram(it, k, np.asarray(arr))
-                msg = ", ".join(f"{k}: {float(np.asarray(v)):.4f}"
-                                for k, v in vals.items())
+                msg = ", ".join(f"{k}: {v:.4f}" for k, v in vals.items())
                 print(f"iter {it}: {msg}, "
                       f"avg step {timer.average_time * 1000:.1f} ms")
 
