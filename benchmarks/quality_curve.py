@@ -175,7 +175,7 @@ def main() -> None:
                                 v2=args.v2, passthrough=args.passthrough)
         row = {"iters": stage}
         for split, set_name in (("train", "trainval"), ("val", "test")):
-            imdb = PascalVOC(set_name, batch_size=8, yolo=eval_gt_yolo)
+            imdb = PascalVOC(set_name, batch_size=32, yolo=eval_gt_yolo)
             mAP, _ = run_eval(detect, imdb, eval_gt_yolo,
                               max_images=args.eval_max_images)
             row[f"map_{split}"] = round(float(mAP), 4)
@@ -206,7 +206,7 @@ def main() -> None:
             detect = make_detect_fn(syolo, params, stats, 0.005,
                                     use_nms=True, v2=args.v2,
                                     passthrough=args.passthrough)
-            imdb = PascalVOC("test", batch_size=8, yolo=syolo)
+            imdb = PascalVOC("test", batch_size=32, yolo=syolo)
             mAP, _ = run_eval(detect, imdb, syolo,
                               max_images=args.eval_max_images)
             multi.append({"size": size, "map_val": round(float(mAP), 4)})
