@@ -21,7 +21,7 @@ class SyntheticClassification(InMemoryImdb):
 
     def __init__(self, split: str = "train", batch_size: int = 32,
                  num_class: int = 10, image_size: int = 64, seed: int = 0,
-                 size: int = 256, **_: Any):
+                 size: int = 256, label_min: int = 0, **_: Any):
         self.name = f"synthetic_{num_class}"
         self.batch_size = batch_size
         self.image_size = image_size
@@ -30,7 +30,10 @@ class SyntheticClassification(InMemoryImdb):
         rng = np.random.RandomState(seed + (0 if split == "train" else 1))
         self._images = rng.uniform(-1, 1, (size, image_size, image_size, 3)
                                    ).astype(np.float32)
-        self._labels = rng.randint(0, num_class, size).astype(np.int32)
+        # label_min=1 reserves class 0 as an ImageNet-style background
+        # slot (the layout --labels-offset strips)
+        self._labels = rng.randint(label_min, num_class, size
+                                   ).astype(np.int32)
         self._init_order(seed)
 
 
@@ -113,4 +116,9 @@ def get_dataset(name: str, split: str = "train", **kwargs: Any):
                             seed=kwargs.get("seed", 0)), pp_name, split)
     if name == "synthetic":
         return SyntheticClassification(split, **kwargs)
+    if name == "synthetic-bg":
+        # background-slot variant: labels start at 1, class 0 reserved —
+        # the ImageNet-style layout --labels-offset strips (slim
+        # train_image_classifier.py:422,444)
+        return SyntheticClassification(split, label_min=1, **kwargs)
     raise ValueError(f"Name of dataset unknown {name!r}")

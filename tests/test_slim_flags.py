@@ -75,7 +75,7 @@ def test_labels_offset_trains_and_shrinks_logits(tmp_root):
     from tensorflow_yolo2_tpu.train.checkpoint import CheckpointManager
 
     rc = train_classifier.main([
-        "--model-name", "lenet", "--dataset-name", "synthetic",
+        "--model-name", "lenet", "--dataset-name", "synthetic-bg",
         "--iters", "2", "--batch-size", "8", "--num-workers", "1",
         "--optimizer", "sgd", "--learning-rate", "0.01",
         "--compute-dtype", "float32", "--save-every", "2",
