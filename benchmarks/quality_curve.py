@@ -70,8 +70,9 @@ def main() -> None:
     ap.add_argument("--lr-decay", default=None,
                     choices=["fixed", "cosine", "exponential"],
                     help="forwarded to pascal_train_darknet --lr-decay "
-                         "(NOTE: the schedule spans each stage's delta, "
-                         "not the cumulative curve)")
+                         "(the schedule re-anchors at each resumed "
+                         "stage boundary, so it spans each stage's "
+                         "delta, not the cumulative curve)")
     ap.add_argument("--pretrain-iters", type=int, default=0,
                     help="first pretrain the darknet19 classifier for N "
                          "iterations on a synthetic CLS-LOC tree of the "

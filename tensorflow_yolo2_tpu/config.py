@@ -227,6 +227,12 @@ class LRScheduleConfig:
     end_learning_rate: float = 1e-4
     power: float = 1.0
     warmup_steps: int = 0
+    # Subtract this from the optimizer's step count before evaluating the
+    # schedule. Under snapshot-resume the optax count restores
+    # cumulatively, so a stage-local schedule (decay_steps = this
+    # invocation's --iters) must anchor at the resumed step or the whole
+    # stage trains past decay_steps at the floor LR.
+    offset_steps: int = 0
 
 
 @dataclass(frozen=True)

@@ -106,6 +106,22 @@ def make_detect_fn(yolo: YoloConfig, params, batch_stats,
         raise ValueError("int8 serving covers the sequential conv chains "
                          "(ops.quant); the passthrough head's concat "
                          "route is not quantized yet")
+    if pallas_stem:
+        # the fused VMEM stem (ops.pallas_stem) replaces the first two
+        # conv+pool stages; it covers the sequential folded bf16 chain.
+        # Validated BEFORE the int8 early-return below so
+        # pallas_stem=True + int8=True errors instead of silently
+        # serving the int8 path with --pallas-stem ignored.
+        if passthrough or int8:
+            raise ValueError("--pallas-stem covers the sequential "
+                             "Darknet19 chain (no passthrough route, "
+                             "no int8)")
+        if downsample != "pool":
+            raise ValueError("--pallas-stem fuses the pool-based stem; "
+                             "the stride variant has no pools to fuse")
+        if not (fold_bn and batch_stats):
+            raise ValueError("--pallas-stem serves the BN-folded chain; "
+                             "fold_bn=True with batch_stats is required")
     if int8:
         if calib_images is None:
             raise ValueError("int8 serving needs calib_images (a "
@@ -118,19 +134,6 @@ def make_detect_fn(yolo: YoloConfig, params, batch_stats,
         return _make_detect_fn_int8(yolo, params, batch_stats,
                                     object_thresh, use_nms, nms_iou, v2,
                                     calib_images)
-    if pallas_stem:
-        # the fused VMEM stem (ops.pallas_stem) replaces the first two
-        # conv+pool stages; it covers the sequential folded bf16 chain
-        if passthrough or int8:
-            raise ValueError("--pallas-stem covers the sequential "
-                             "Darknet19 chain (no passthrough route, "
-                             "no int8)")
-        if downsample != "pool":
-            raise ValueError("--pallas-stem fuses the pool-based stem; "
-                             "the stride variant has no pools to fuse")
-        if not (fold_bn and batch_stats):
-            raise ValueError("--pallas-stem serves the BN-folded chain; "
-                             "fold_bn=True with batch_stats is required")
     bn_on_output = not v2
 
     def build_model(folded: bool):

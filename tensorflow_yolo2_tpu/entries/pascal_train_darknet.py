@@ -82,10 +82,13 @@ def main(argv: list[str] | None = None) -> int:
                         "in training without it)")
     p.add_argument("--lr-decay", default="fixed",
                    choices=["fixed", "cosine", "exponential"],
-                   help="LR schedule over --iters (cosine decays to 0 "
-                        "across the run; exponential uses "
-                        "--lr-decay-factor per iters/4 steps). The "
-                        "reference's Adam is fixed-LR — the default")
+                   help="LR schedule over --iters (cosine decays toward "
+                        "the floor across the run; exponential uses "
+                        "--lr-decay-factor per iters/4 steps). Under "
+                        "snapshot-resume the schedule re-anchors at the "
+                        "resumed step, so each staged invocation decays "
+                        "over ITS OWN --iters delta. The reference's "
+                        "Adam is fixed-LR — the default")
     p.add_argument("--lr-decay-factor", type=float, default=0.5)
     args = p.parse_args(argv)
     if args.multiscale and not args.v2:
@@ -188,18 +191,24 @@ def main(argv: list[str] | None = None) -> int:
                 cur = imdbs[ms_state["size"]]
             return cur.get()
     paths = Paths()
+    mgr = CheckpointManager(net_name, imdb.name, save_by_epoch=False,
+                            paths=paths)
+    # A resumed run restores the optax step count cumulatively; anchor
+    # the stage-local schedule at the resumed step so cosine/exponential
+    # decay spans THIS invocation's --iters (not the cumulative curve) —
+    # exactly what the help text promises under chunked/staged training.
+    resume_step = mgr.latest_step() or 0
     sched = LRScheduleConfig(
         kind=args.lr_decay, learning_rate=lr,
         decay_steps=max(1, iters if args.lr_decay == "cosine"
                         else iters // 4),
-        decay_factor=args.lr_decay_factor)
+        decay_factor=args.lr_decay_factor,
+        offset_steps=resume_step if args.lr_decay != "fixed" else 0)
     trainer = Trainer(
         model, task,
         OptimizerConfig(name="adam", schedule=sched,
                         grad_clip_norm=args.grad_clip),
         mesh=make_mesh_for_batch(batch_size))
-    mgr = CheckpointManager(net_name, imdb.name, save_by_epoch=False,
-                            paths=paths)
     if args.v2:
         # persist the priors next to the snapshots — detect/eval decode
         # with exactly the anchors the head was trained against

@@ -198,9 +198,11 @@ def fused_stem(x: jnp.ndarray, w1: jnp.ndarray, b1: jnp.ndarray,
     (3, 3, 32, 64) + b2. Returns (B, H/4, W/4, 64) in ``dtype``.
     """
     b, h, w, cin = x.shape
-    if not interpret and b > _MAX_GRID:
+    if b > _MAX_GRID:
         # chunked dispatch around the helper's grid cap; pad the ragged
-        # tail chunk
+        # tail chunk. Applied in interpret mode too (the chunking is
+        # backend-independent lax.map + pad/reslice) so the CPU tests
+        # exercise the exact path production serving batches take.
         pad = (-b) % _MAX_GRID
         xp = jnp.pad(x, ((0, pad), (0, 0), (0, 0), (0, 0))) if pad else x
         xc = xp.reshape(-1, _MAX_GRID, h, w, cin)

@@ -45,7 +45,22 @@ def make_schedule(cfg: LRScheduleConfig) -> optax.Schedule:
     if cfg.warmup_steps > 0:
         warmup = optax.linear_schedule(0.0, cfg.learning_rate,
                                        cfg.warmup_steps)
-        return optax.join_schedules([warmup, base], [cfg.warmup_steps])
+        base = optax.join_schedules([warmup, base], [cfg.warmup_steps])
+    if cfg.offset_steps:
+        # Stage-local schedule under snapshot-resume: the optax count is
+        # restored cumulatively, so shift it back to the stage boundary.
+        # The clamp covers the optimizer-swap resume path (count re-init
+        # to 0 while the snapshot step is ahead): there the schedule
+        # simply restarts, which is the correct semantics for a freshly
+        # initialized optimizer.
+        inner = base
+        offset = cfg.offset_steps
+
+        def shifted(count):
+            import jax.numpy as jnp
+            return inner(jnp.maximum(count - offset, 0))
+
+        return shifted
     return base
 
 

@@ -162,6 +162,60 @@ def test_make_detect_fn_pallas_stem_wiring():
                        fold_bn=False, **kwargs)
 
 
+def test_fused_stem_chunked_dispatch():
+    """batch > _MAX_GRID with a ragged tail (6 = 4 + 2) routes through
+    the lax.map chunking + zero-pad + reslice — the exact path
+    production serving batches (32/256) take on TPU. Equality with the
+    reference proves the pad rows never leak into real outputs."""
+    rng = np.random.RandomState(21)
+    x = jnp.asarray(rng.uniform(-1, 1, (6, 32, 32, 3)), jnp.float32)
+    w1, b1, w2, b2 = _weights(rng)
+    got = np.asarray(fused_stem(x, w1, b1, w2, b2, interpret=True,
+                                dtype=jnp.float32))
+    want = np.asarray(stem_reference(x, w1, b1, w2, b2,
+                                     dtype=jnp.float32))
+    assert got.shape == want.shape == (6, 8, 8, 64)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_make_detect_fn_pallas_stem_int8_guard():
+    """pallas_stem + int8 must error (not silently serve int8 with the
+    stem flag ignored) — the guard runs before the int8 early-return."""
+    from tensorflow_yolo2_tpu.config import YoloConfig
+    from tensorflow_yolo2_tpu.entries.pascal_detect_darknet import (
+        make_detect_fn,
+    )
+    from tensorflow_yolo2_tpu.models.darknet import Darknet19Detector
+
+    rng = np.random.RandomState(6)
+    x = jnp.asarray(rng.uniform(-1, 1, (1, 32, 32, 3)), jnp.float32)
+    yolo = YoloConfig(S=1, image_size=32)
+    model = Darknet19Detector(output_channels=yolo.cell_channels,
+                              dtype=jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    with pytest.raises(ValueError, match="no int8"):
+        make_detect_fn(yolo, variables["params"],
+                       variables["batch_stats"], pallas_stem=True,
+                       int8=True, calib_images=x)
+
+
+@pytest.mark.tpu
+def test_fused_stem_chunked_on_tpu():
+    """Compiled chunked dispatch at a ragged batch (6 > _MAX_GRID=4,
+    not a multiple of 4): covers both the lax.map chunking and the
+    tail pad/slice on the real Mosaic kernel (ADVICE r4)."""
+    if jax.default_backend() != "tpu":
+        pytest.skip("needs the TPU backend")
+    rng = np.random.RandomState(22)
+    x = jnp.asarray(rng.uniform(-1, 1, (6, 64, 64, 3)), jnp.float32)
+    w1, b1, w2, b2 = _weights(rng)
+    got = np.asarray(fused_stem(x, w1, b1, w2, b2, dtype=jnp.float32))
+    want = np.asarray(stem_reference(x, w1, b1, w2, b2,
+                                     dtype=jnp.float32))
+    assert got.shape == (6, 16, 16, 64)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
 @pytest.mark.tpu
 def test_fused_stem_compiled_on_tpu():
     """Compiled Mosaic kernel vs XLA on the chip (run via

@@ -178,6 +178,34 @@ def test_schedules():
     assert float(warm(20)) == pytest.approx(0.1)
 
 
+def test_schedule_offset_anchors_resumed_stage():
+    """offset_steps re-anchors the schedule at the resumed step: a
+    staged cosine run (ADVICE r4 — decay_steps = the stage's --iters,
+    optax count restored cumulatively) must decay over THIS stage's
+    delta instead of training the whole stage at the floor LR."""
+    stage_iters = 100
+    cos = make_schedule(LRScheduleConfig(
+        kind="cosine", learning_rate=0.1, decay_steps=stage_iters,
+        end_learning_rate=1e-3, offset_steps=400))
+    ref = make_schedule(LRScheduleConfig(
+        kind="cosine", learning_rate=0.1, decay_steps=stage_iters,
+        end_learning_rate=1e-3))
+    # resumed counts 400..500 behave exactly like fresh counts 0..100
+    for local in (0, 25, 50, 100):
+        assert float(cos(400 + local)) == pytest.approx(float(ref(local)))
+    # stage start is the peak LR, not the floor
+    assert float(cos(400)) == pytest.approx(0.1)
+    # optimizer-swap resume (count re-init to 0 with offset ahead):
+    # clamps to the schedule start — a fresh optimizer restarts its decay
+    assert float(cos(0)) == pytest.approx(0.1)
+    # exponential variant too
+    exp = make_schedule(LRScheduleConfig(
+        kind="exponential", learning_rate=0.1, decay_steps=10,
+        decay_factor=0.5, offset_steps=50))
+    assert float(exp(50)) == pytest.approx(0.1)
+    assert float(exp(60)) == pytest.approx(0.05)
+
+
 @pytest.mark.parametrize("name", ["adadelta", "adagrad", "adam", "adamw",
                                   "ftrl", "momentum", "sgd", "rmsprop",
                                   "lamb"])
