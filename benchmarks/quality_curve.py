@@ -111,6 +111,14 @@ def main() -> None:
         synthetic.make_voc_hard(voc_root, n_train=args.n_train,
                                 n_val=args.n_val, easy=args.easy)
 
+    from tensorflow_yolo2_tpu.train.checkpoint import CheckpointManager
+    if args.pretrain_iters and CheckpointManager(
+            "darknet19", "ilsvrc_2017_cls",
+            save_by_epoch=True).latest_step() is not None:
+        # resume-aware: the classifier snapshot already exists — a
+        # re-invoked stage program must not train the pretrain again
+        print("pretrain snapshot present; skipping --pretrain-iters")
+        args.pretrain_iters = 0
     if args.pretrain_iters:
         ilsvrc_root = os.path.join(paths.root, "data", "ILSVRC")
         if not os.path.exists(os.path.join(ilsvrc_root, "ImageSets",
@@ -131,10 +139,24 @@ def main() -> None:
     from tensorflow_yolo2_tpu.config import yolo_v2_config
     yolo = yolo_v2_config() if args.v2 else YoloConfig()
     rows = []
-    done = 0
+    # Stages are CUMULATIVE iteration counts, resume-aware: a fresh
+    # invocation reads the newest snapshot's step and trains only the
+    # remaining delta — so chunking a long program into one process per
+    # stage (the tunnel-degradation mitigation, CLAUDE.md) keeps the
+    # stage labels and the training budget exact across restarts.
+    from tensorflow_yolo2_tpu.train.checkpoint import CheckpointManager
+    curve_net = ("darknet19_v2p" if args.passthrough
+                 else "darknet19_v2" if args.v2 else "darknet19")
+    done = CheckpointManager(curve_net, "voc_2007",
+                             save_by_epoch=False).latest_step() or 0
+    if done:
+        print(f"resuming stage program at iter {done} "
+              f"(newest {curve_net} snapshot)")
     for stage in stages:
         iters = stage - done
-        assert iters > 0, "stages must be increasing"
+        if iters <= 0:
+            print(f"stage {stage} already trained (at {done}); skipping")
+            continue
         # uint8-transfer: same pixel values, 4x fewer bytes over the
         # host↔device link (the tunnel is the wall for this harness)
         rc = pascal_train_darknet.main(

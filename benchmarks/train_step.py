@@ -41,6 +41,11 @@ def main() -> None:
                     help="'stride' = pool-free stride-2-conv variant "
                          "(no SelectAndScatter pool gradients; non-parity "
                          "train-perf lever)")
+    ap.add_argument("--json-out", default=None, metavar="PATH",
+                    help="also write the one-line JSON record "
+                         "({img_s, mfu, batch, size, variant}) to PATH — "
+                         "the machine-readable train-perf artifact "
+                         "(the serving twin is bench.py's BENCH_r*.json)")
     args = ap.parse_args()
     batch, size, remat = args.batch, args.size, args.remat
     if size % 32 or size < 128:
@@ -77,9 +82,33 @@ def main() -> None:
         state, m = trainer.train_step(state, di, dl)
     float(np.asarray(m["loss"]))                  # force the chain
     dt = (time.perf_counter() - t0) / steps
+    ips = batch / dt
+    # Train-step MFU: fwd conv FLOPs × 3 (the dx pass contracts over
+    # output channels and the dw pass over batch×space — each ≈ one
+    # forward; the standard fwd+bwd accounting) ÷ chip peak. Same
+    # analytic model bench.py reports for serving (profiling.py:51-67).
+    from tensorflow_yolo2_tpu.utils.profiling import (
+        V5E_PEAK_FLOPS,
+        conv_flops_per_image,
+    )
+
+    flops = 3.0 * conv_flops_per_image(size)
+    mfu = ips * flops / V5E_PEAK_FLOPS["bf16"]
     print(f"train step {size}² batch {batch} remat={remat} "
           f"downsample={args.downsample}: "
-          f"{dt * 1e3:.2f} ms/step, {batch / dt:.0f} img/s")
+          f"{dt * 1e3:.2f} ms/step, {ips:.0f} img/s, mfu {mfu:.4f}")
+    import json
+
+    record = {"metric": "train_images_per_sec_per_chip",
+              "value": round(ips, 1), "unit": "img/s/chip",
+              "batch": batch, "size": size,
+              "variant": args.downsample, "remat": remat,
+              "ms_per_step": round(dt * 1e3, 2), "mfu": round(mfu, 4)}
+    print(json.dumps(record))
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump(record, f)
+            f.write("\n")
 
 
 if __name__ == "__main__":

@@ -199,6 +199,71 @@ def make_detect_fn(yolo: YoloConfig, params, batch_stats,
     return detect
 
 
+def make_spatial_detect_fn(yolo: YoloConfig, params, batch_stats,
+                           object_thresh: float = 0.5,
+                           use_nms: bool = False, nms_iou: float = 0.5,
+                           v2: bool = False, passthrough: bool = False,
+                           downsample: str = "pool", n_shards: int = 2,
+                           axis: str = "spatial"):
+    """Spatially-sharded serving twin of :func:`make_detect_fn`
+    (``--spatial N``): the folded trunk + head run H-sharded over an
+    ``n_shards``-device mesh with per-layer halo exchange
+    (parallel.spatial.spatial_detector_fn — SURVEY §5.7, the CNN analog
+    of context parallelism), then the gathered grid feeds the same
+    decode(+NMS) tail. Requires ``n_shards`` local devices and
+    image_size % (32·n_shards) == 0; covers every served head/trunk
+    (v1 quirk head, --v2 linear head, --passthrough reorg head,
+    --downsample stride)."""
+    import numpy as _np
+
+    from jax.sharding import Mesh
+
+    from tensorflow_yolo2_tpu.parallel.spatial import spatial_detector_fn
+
+    if v2 != yolo.per_slot_classes:
+        raise ValueError(
+            f"v2={v2} disagrees with yolo.per_slot_classes="
+            f"{yolo.per_slot_classes} (see make_detect_fn)")
+    if passthrough and not v2:
+        raise ValueError("passthrough is the YOLOv2 reorg head — it "
+                         "requires v2=True")
+    if yolo.image_size % (32 * n_shards):
+        raise ValueError(
+            f"--spatial {n_shards} needs --image-size divisible by "
+            f"{32 * n_shards} (5 stride-2 downsamples per shard); got "
+            f"{yolo.image_size}")
+    devices = jax.devices()
+    if len(devices) < n_shards:
+        raise ValueError(
+            f"--spatial {n_shards} needs {n_shards} local devices, have "
+            f"{len(devices)} (on CPU: "
+            f"XLA_FLAGS=--xla_force_host_platform_device_count=N)")
+    mesh = Mesh(_np.asarray(devices[:n_shards]), (axis,))
+    if not batch_stats:
+        raise ValueError("spatial serving folds BN into the convs; the "
+                         "restored snapshot has no batch statistics")
+    folded = jax.device_put(fold_params(params, batch_stats))
+    forward = spatial_detector_fn(mesh, axis=axis, bn_on_output=not v2,
+                                  downsample=downsample,
+                                  head="v2p" if passthrough else "v1")
+
+    def detect(images: jnp.ndarray) -> Detections:
+        if images.dtype == jnp.uint8:
+            images = images.astype(jnp.float32) / 255.0 * 2.0 - 1.0
+        grid = forward(folded, images)
+        if use_nms:
+            return decode_nms_pallas(grid, yolo, object_thresh, nms_iou,
+                                     max_outputs=32)
+        if v2:
+            from tensorflow_yolo2_tpu.ops.boxes import decode_grid_v2
+
+            return jax.vmap(
+                lambda g: decode_grid_v2(g, yolo, object_thresh))(grid)
+        return decode_grid_pallas(grid, yolo, object_thresh)
+
+    return detect
+
+
 def quantize_detector(params, batch_stats, calib_images, v2: bool = False):
     """Fold BN and post-training-quantize a detector → int8 layer chain."""
     from tensorflow_yolo2_tpu.ops.quant import calibrate, quantize_folded
@@ -290,6 +355,14 @@ def main(argv: list[str] | None = None) -> int:
                         "instead of the XLA composition — the conv1 "
                         "activation never touches HBM (bf16 folded "
                         "chain, pool downsample only)")
+    p.add_argument("--spatial", type=int, default=0, metavar="N",
+                   help="shard the H dimension over N devices with "
+                        "per-layer halo exchange (parallel.spatial) — "
+                        "high-resolution serving when one chip cannot "
+                        "hold the activations. Needs N local devices "
+                        "(CPU: XLA_FLAGS=--xla_force_host_platform_"
+                        "device_count=N) and --image-size divisible by "
+                        "32*N")
     args = p.parse_args(argv)
 
     from tensorflow_yolo2_tpu.utils.jaxsetup import enable_compilation_cache
@@ -317,6 +390,14 @@ def main(argv: list[str] | None = None) -> int:
     if args.downsample == "stride" and (args.int8 or args.int8_weights):
         p.error("int8 serving covers the pool-based parity chain "
                 "(ops.quant layer plan); the stride variant is bf16-only")
+    if args.spatial and args.spatial < 2:
+        p.error("--spatial N needs N >= 2 (1 shard is the normal path)")
+    if args.spatial and (args.int8 or args.int8_weights
+                         or args.pallas_stem or args.no_fold_bn):
+        p.error("--spatial serves the folded f32/bf16 chain sharded "
+                "over devices; it composes with --nms/--v2/"
+                "--passthrough/--downsample but not with int8, "
+                "--pallas-stem or --no-fold-bn")
     sd = "_sd" if args.downsample == "stride" else ""
     if args.v2:
         # anchors come from the snapshot dir's anchors.json when present
@@ -362,6 +443,11 @@ def main(argv: list[str] | None = None) -> int:
             print(f"Exported int8 artifact to {args.int8_export}")
         detect = make_detect_fn_int8(yolo, qlayers, args.threshold,
                                      use_nms=use_nms, v2=args.v2)
+    elif args.spatial:
+        detect = make_spatial_detect_fn(
+            yolo, params, stats, args.threshold, use_nms=use_nms,
+            v2=args.v2, passthrough=args.passthrough,
+            downsample=args.downsample, n_shards=args.spatial)
     else:
         detect = make_detect_fn(yolo, params, stats, args.threshold,
                                 use_nms=use_nms,

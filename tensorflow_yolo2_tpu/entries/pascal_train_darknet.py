@@ -30,6 +30,128 @@ from tensorflow_yolo2_tpu.train.metrics import MetricsWriter
 from tensorflow_yolo2_tpu.train.trainer import Trainer, yolo_task
 
 
+def run_spatial_training(args, yolo, model, imdb, mgr, writer, sched,
+                         iters: int, save_every: int) -> int:
+    """Spatially-sharded training loop (``--spatial N``): the detector
+    runs H-sharded over an N-device mesh with per-layer halo exchange
+    and live psum-synced BatchNorm
+    (parallel.spatial.spatial_yolo_train_fn — SURVEY §5.7), wrapped in
+    one jitted grad+Adam step. Snapshots carry the same
+    params/batch_stats keys as the Trainer's, so detect/eval serve them
+    unchanged (and a spatial run can resume params/stats from a normal
+    run's snapshot, re-initializing the optimizer)."""
+    import numpy as np
+    import optax
+
+    from jax.sharding import Mesh
+
+    from tensorflow_yolo2_tpu.parallel.spatial import spatial_yolo_train_fn
+    from tensorflow_yolo2_tpu.train.checkpoint import (
+        merge_pytrees,
+        warm_start_params,
+    )
+    from tensorflow_yolo2_tpu.train.optimizers import make_schedule
+    from tensorflow_yolo2_tpu.utils.timer import Timer
+
+    n = args.spatial
+    devices = jax.devices()
+    if len(devices) < n:
+        raise ValueError(
+            f"--spatial {n} needs {n} local devices, have "
+            f"{len(devices)} (on CPU: "
+            "XLA_FLAGS=--xla_force_host_platform_device_count=N)")
+    mesh = Mesh(np.asarray(devices[:n]), ("spatial",))
+    step_fn = spatial_yolo_train_fn(mesh, yolo, axis="spatial",
+                                    bn_on_output=True,
+                                    bn_momentum=args.bn_momentum,
+                                    downsample=args.downsample)
+
+    sample, _ = imdb.get()
+    variables = model.init(jax.random.PRNGKey(args.seed),
+                           jnp.asarray(sample[:1], jnp.float32),
+                           train=False)
+    params, stats = variables["params"], variables["batch_stats"]
+    parts = []
+    if args.grad_clip:
+        parts.append(optax.clip_by_global_norm(args.grad_clip))
+    parts.append(optax.adam(make_schedule(sched), eps=1e-8))
+    tx = optax.chain(*parts) if len(parts) > 1 else parts[0]
+    opt_state = tx.init(params)
+
+    start = 0
+    if mgr.latest_step() is not None:
+        target = {"params": params, "batch_stats": stats,
+                  "opt_state": opt_state}
+        try:
+            restored, start = mgr.restore(target)
+            params = restored["params"]
+            stats = restored["batch_stats"]
+            opt_state = restored["opt_state"]
+        except ValueError:
+            # snapshot from the normal (GSPMD) trainer: intersect
+            # params/stats, re-init the optimizer (the reference's
+            # optimizer-swap path, net_utils.py:203-212)
+            raw = mgr.restore_raw()
+            params, _ = merge_pytrees(params, raw.get("params"))
+            stats, _ = merge_pytrees(stats, raw.get("batch_stats", {}))
+            start = mgr.latest_step()
+            print("Snapshot optimizer state does not match the spatial "
+                  "trainer — restored params/stats, optimizer "
+                  "re-initialized")
+        print(f"Restored snapshot at iter {start} from {mgr.dir}")
+    else:
+        imagenet_mgr = CheckpointManager("darknet19", "ilsvrc_2017_cls",
+                                         save_by_epoch=True,
+                                         paths=mgr.paths)
+        warm = imagenet_mgr.latest_path()
+        if warm:
+            params, n_warm = warm_start_params(params, warm)
+            print(f"Warm-started {n_warm} tensors from {warm}")
+
+    # replicate the train state over the spatial mesh (images/labels are
+    # H-sharded inside step_fn; params/stats/optimizer are global)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    rep = NamedSharding(mesh, P())
+    params, stats, opt_state = jax.device_put((params, stats, opt_state),
+                                              rep)
+
+    @jax.jit
+    def train_step(params, stats, opt_state, images, labels):
+        (loss, new_stats), grads = jax.value_and_grad(
+            lambda p: step_fn(p, stats, images, labels),
+            has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, new_stats, opt_state, loss
+
+    timer = Timer()
+    last_saved = start
+    snap = lambda: jax.device_get({"params": params, "batch_stats": stats,
+                                   "opt_state": opt_state})
+    for i in range(start + 1, start + iters + 1):
+        images, labels = imdb.get()
+        images = jnp.asarray(images, jnp.float32)
+        labels = jnp.asarray(labels, jnp.float32)
+        timer.tic()
+        params, stats, opt_state, loss = train_step(
+            params, stats, opt_state, images, labels)
+        timer.toc()
+        if i % args.log_every == 0:
+            lv = float(loss)
+            writer.scalars(i, {"loss": lv})
+            print(f"iter {i}: loss: {lv:.4f}, "
+                  f"avg step {timer.average_time * 1000:.1f} ms")
+        if save_every and i % save_every == 0:
+            mgr.save(i, snap())
+            last_saved = i
+            print(f"Saved snapshot at iter {i} (iter {i})")
+    final = start + iters
+    if iters > 0 and last_saved != final:
+        mgr.save(final, snap())
+        print(f"Saved final snapshot at iter {final} (iter {final})")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = common.base_parser(__doc__)
     p.add_argument("--image-set", default="trainval")
@@ -90,7 +212,27 @@ def main(argv: list[str] | None = None) -> int:
                         "over ITS OWN --iters delta. The reference's "
                         "Adam is fixed-LR — the default")
     p.add_argument("--lr-decay-factor", type=float, default=0.5)
+    p.add_argument("--spatial", type=int, default=0, metavar="N",
+                   help="train with the H dimension sharded over N "
+                        "devices via per-layer halo exchange and live "
+                        "psum-synced BatchNorm (parallel.spatial."
+                        "spatial_yolo_train_fn) — resolutions whose "
+                        "activations outgrow one chip. v1 grid head "
+                        "only (the v2 anchor loss's ignore term needs "
+                        "every GT box and is not row-splittable); "
+                        "composes with --downsample stride. Needs N "
+                        "local devices (CPU: XLA_FLAGS=--xla_force_"
+                        "host_platform_device_count=N)")
     args = p.parse_args(argv)
+    if args.spatial and args.spatial < 2:
+        p.error("--spatial N needs N >= 2 (1 shard is the normal path)")
+    if args.spatial and args.v2:
+        p.error("--spatial trains the v1 grid loss (row-splittable "
+                "term sums); the v2 anchor loss's ignore-threshold "
+                "term needs every GT box in the image")
+    if args.spatial and (args.multiscale or args.uint8_transfer):
+        p.error("--spatial composes with --downsample/--grad-clip/"
+                "--lr-decay but not --multiscale/--uint8-transfer")
     if args.multiscale and not args.v2:
         p.error("--multiscale requires --v2 (the anchor loss is "
                 "grid-size polymorphic; the v1 grid loss is fixed S=7)")
@@ -204,11 +346,6 @@ def main(argv: list[str] | None = None) -> int:
                         else iters // 4),
         decay_factor=args.lr_decay_factor,
         offset_steps=resume_step if args.lr_decay != "fixed" else 0)
-    trainer = Trainer(
-        model, task,
-        OptimizerConfig(name="adam", schedule=sched,
-                        grad_clip_norm=args.grad_clip),
-        mesh=make_mesh_for_batch(batch_size))
     if args.v2:
         # persist the priors next to the snapshots — detect/eval decode
         # with exactly the anchors the head was trained against
@@ -219,6 +356,19 @@ def main(argv: list[str] | None = None) -> int:
                         has_snapshots=mgr.latest_path() is not None)
     writer = MetricsWriter(paths.tb_dirs(net_name, imdb.name, val=False)[0])
 
+    if args.spatial:
+        try:
+            rc = run_spatial_training(args, yolo, model, imdb, mgr,
+                                      writer, sched, iters, save_every)
+        finally:
+            writer.close()
+        return rc
+
+    trainer = Trainer(
+        model, task,
+        OptimizerConfig(name="adam", schedule=sched,
+                        grad_clip_norm=args.grad_clip),
+        mesh=make_mesh_for_batch(batch_size))
     # warm-start from the newest ImageNet classifier snapshot if present
     # (the reference's variable-intersection path, net_utils.py:81-101)
     imagenet_mgr = CheckpointManager("darknet19", "ilsvrc_2017_cls",

@@ -11,15 +11,25 @@ runs the whole Darknet19 trunk inside ``shard_map``:
   shards receive zeros from the permute — exactly SAME-conv zero padding,
   so results are bitwise-equivalent in structure to the unsharded net;
 - 2×2/2 max pools never cross shard boundaries while the local height
-  stays even, so they need no exchange;
+  stays even, so they need no exchange; the stride-2 downsample variant
+  (``downsample="stride"``) instead needs only the *next* neighbor's
+  boundary row (XLA SAME padding for stride 2 pads low 0 / high 1);
 - 1×1 convs are purely local.
+
+The per-layer structure is driven by the model's own conv schedule
+(``models.darknet._DARKNET19_SCHEDULE`` via :func:`backbone_plan`), so
+every trunk variant (pool or stride downsample) and every head (v1 grid,
+v2 linear-output anchor, v2 passthrough/reorg) runs spatially — the
+round-4 verdict's decoupling item.
 
 This is the CNN cousin of ring attention: per-layer neighbor exchanges
 (O(W·C) bytes) ride the ICI while each chip holds 1/N of every
-activation. Works on folded params (conv+bias only, models.fold) — for
-inference (:func:`spatial_backbone_fn`) and for frozen-BN training:
-:func:`spatial_yolo_loss_fn` runs trunk + detection head + the YOLO loss
-sharded, psum-reduced, and differentiable end-to-end.
+activation. :func:`spatial_detector_fn` serves folded params (conv+bias
+only, models.fold) for any head/downsample; :func:`spatial_yolo_loss_fn`
+trains frozen-BN; :func:`spatial_yolo_train_fn` trains with live
+psum-synced BatchNorm (v1 grid loss — the v2 anchor loss's
+ignore-threshold term needs every GT box in the image and is not
+row-splittable).
 """
 
 from __future__ import annotations
@@ -33,7 +43,37 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from tensorflow_yolo2_tpu.models.darknet import _DARKNET19_SCHEDULE
-from tensorflow_yolo2_tpu.models.layers import leaky_relu
+from tensorflow_yolo2_tpu.models.layers import leaky_relu, space_to_depth
+
+
+def backbone_plan(downsample: str = "pool") -> tuple:
+    """The trunk as spatial ops, derived from the model's own schedule
+    (models.darknet.Darknet19Backbone consumes the same
+    ``_DARKNET19_SCHEDULE``): ``("conv", name, k, stride)``,
+    ``("pool",)``, and ``("mid",)`` marking the (H/16, 512) passthrough
+    source (the feature map feeding the last downsample)."""
+    assert downsample in ("pool", "stride"), downsample
+    ops = []
+    conv_i = 0
+    pool_i = 0
+    n_pools = sum(1 for item in _DARKNET19_SCHEDULE if item == "M")
+    pending_stride = False
+    for item in _DARKNET19_SCHEDULE:
+        if item == "M":
+            pool_i += 1
+            if pool_i == n_pools:
+                ops.append(("mid",))
+            if downsample == "pool":
+                ops.append(("pool",))
+            else:
+                pending_stride = True  # every "M" precedes a 3×3 conv
+        else:
+            k, _ = item
+            conv_i += 1
+            ops.append(("conv", f"conv{conv_i}", k,
+                        2 if pending_stride else 1))
+            pending_stride = False
+    return tuple(ops)
 
 
 def halo_exchange(x: jnp.ndarray, axis_name: str, halo: int = 1) -> jnp.ndarray:
@@ -53,52 +93,106 @@ def halo_exchange(x: jnp.ndarray, axis_name: str, halo: int = 1) -> jnp.ndarray:
 
 
 def _conv(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray,
-          h_padding: str) -> jnp.ndarray:
-    """NHWC stride-1 conv, SAME on W, VALID/SAME on H."""
-    kh = kernel.shape[0]
-    pad_w = (kernel.shape[1] - 1) // 2
+          h_padding: str, stride: int = 1) -> jnp.ndarray:
+    """NHWC conv, SAME on W, VALID/SAME on H, stride 1 or 2.
+
+    For stride 2 the W padding is (0, 1) — XLA/flax SAME semantics for
+    even W (pad_total = k − stride = 1, low = pad_total // 2 = 0)."""
+    kh, kw = kernel.shape[0], kernel.shape[1]
+    if stride == 1:
+        pad_w = ((kw - 1) // 2,) * 2
+    else:
+        pad_w = (0, 1)
     pad_h = (0, 0) if h_padding == "VALID" else ((kh - 1) // 2,) * 2
     y = lax.conv_general_dilated(
-        x, kernel, (1, 1),
-        padding=(tuple(pad_h), (pad_w, pad_w)),
+        x, kernel, (stride, stride),
+        padding=(tuple(pad_h), tuple(pad_w)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
     return y + bias
 
 
+def _spatial_conv(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray,
+                  axis_name: str, stride: int = 1) -> jnp.ndarray:
+    """One folded conv on an H-shard with whatever exchange it needs:
+    3×3/1 → symmetric 1-row halo + VALID; 3×3/2 → next-neighbor row only
+    (global SAME stride-2 pads low 0 / high 1, so out row t of this
+    shard reads global rows 2t..2t+2 starting AT the shard boundary);
+    1×1 → purely local."""
+    if kernel.shape[0] == 1:
+        return _conv(x, kernel, bias, h_padding="SAME")
+    if stride == 1:
+        return _conv(halo_exchange(x, axis_name), kernel, bias,
+                     h_padding="VALID")
+    # stride 2: drop the prev-neighbor halo row; VALID stride-2 over the
+    # (H_local + 1) rows [own block + next neighbor's first row] yields
+    # exactly H_local/2 rows with global SAME(0,1) semantics (the last
+    # shard's next-halo is ppermute zeros = the global pad-high row)
+    xh = halo_exchange(x, axis_name)[:, 1:]
+    return _conv(xh, kernel, bias, h_padding="VALID", stride=2)
+
+
 def _sharded_trunk(params: Mapping[str, Any], x: jnp.ndarray,
-                   axis_name: str) -> jnp.ndarray:
-    """Darknet19 trunk on one H-shard (runs inside shard_map)."""
-    conv_i = 0
-    for item in _DARKNET19_SCHEDULE:
-        if item == "M":
+                   axis_name: str, downsample: str = "pool",
+                   want_mid: bool = False):
+    """Darknet19 trunk on one H-shard (runs inside shard_map); folded
+    conv+bias params. ``want_mid`` also returns the (H/16, 512)
+    passthrough feature map (models.darknet return_mid analog)."""
+    mid = None
+    for op in backbone_plan(downsample):
+        if op[0] == "mid":
+            mid = x
+            continue
+        if op[0] == "pool":
             x = lax.reduce_window(
                 x, -jnp.inf, lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "SAME")
             continue
-        conv_i += 1
-        p = params[f"conv{conv_i}"]["conv"]
-        k, b = p["kernel"], p["bias"]
-        if k.shape[0] == 3:
-            x = _conv(halo_exchange(x, axis_name), k, b, h_padding="VALID")
-        else:  # 1×1: purely local
-            x = _conv(x, k, b, h_padding="SAME")
-        x = leaky_relu(x)
+        _, name, _, stride = op
+        p = params[name]["conv"]
+        x = leaky_relu(_spatial_conv(x, p["kernel"], p["bias"],
+                                     axis_name, stride))
+    if want_mid:
+        return x, mid
     return x
 
 
 def _sharded_detector(params: Mapping[str, Any], x: jnp.ndarray,
-                      axis_name: str, bn_on_output: bool) -> jnp.ndarray:
-    """Folded Darknet19 detector (trunk + head) on one H-shard.
+                      axis_name: str, bn_on_output: bool,
+                      downsample: str = "pool",
+                      head: str = "v1") -> jnp.ndarray:
+    """Folded detector (trunk + head) on one H-shard.
 
-    Head per reference darknet19_detection (darknet.py:182-201): 3×(3×3
-    conv, halo-exchanged) + 1×1 output conv, leaky on the output when the
-    BN-on-output quirk is active (models.darknet.DetectionHead)."""
-    x = _sharded_trunk(params["backbone"], x, axis_name)
-    head = params["detection"]
+    ``head="v1"``: the reference head (darknet19_detection,
+    darknet.py:182-201) — 3×(3×3 conv, halo-exchanged) + 1×1 output,
+    leaky on the output when the BN-on-output quirk is active. With
+    ``bn_on_output=False`` this is also the plain --v2 anchor head.
+    ``head="v2p"``: the YOLOv2 passthrough head
+    (models.darknet.DetectionHeadV2) — conv1+conv2, 1×1 on the H/16 mid
+    map, 2×2 space-to-depth reorg (local: the mid shard height is even
+    whenever S divides over the axis), channel concat, conv3, linear
+    output."""
+    head_p = params["detection"]
+    if head == "v2p":
+        x, mid = _sharded_trunk(params["backbone"], x, axis_name,
+                                downsample, want_mid=True)
+        for i in (1, 2):
+            p = head_p[f"conv{i}"]["conv"]
+            x = leaky_relu(_spatial_conv(x, p["kernel"], p["bias"],
+                                         axis_name))
+        p = head_p["passthrough"]["conv"]
+        pt = leaky_relu(_spatial_conv(mid, p["kernel"], p["bias"],
+                                      axis_name))
+        pt = space_to_depth(pt)  # local: even shard height at H/16
+        x = jnp.concatenate([x, pt.astype(x.dtype)], axis=-1)
+        p = head_p["conv3"]["conv"]
+        x = leaky_relu(_spatial_conv(x, p["kernel"], p["bias"], axis_name))
+        p = head_p["output"]["conv"]
+        x = _conv(x, p["kernel"], p["bias"], h_padding="SAME")
+        return x.astype(jnp.float32)
+    x = _sharded_trunk(params["backbone"], x, axis_name, downsample)
     for i in range(1, 4):
-        p = head[f"conv{i}"]["conv"]
-        x = leaky_relu(_conv(halo_exchange(x, axis_name),
-                             p["kernel"], p["bias"], h_padding="VALID"))
-    p = head["output"]["conv"]
+        p = head_p[f"conv{i}"]["conv"]
+        x = leaky_relu(_spatial_conv(x, p["kernel"], p["bias"], axis_name))
+    p = head_p["output"]["conv"]
     x = _conv(x, p["kernel"], p["bias"], h_padding="SAME")
     if bn_on_output:
         x = leaky_relu(x)
@@ -117,15 +211,24 @@ def _put_h_sharded(mesh: Mesh, axis: str, x: jnp.ndarray) -> jnp.ndarray:
 
 
 def spatial_detector_fn(mesh: Mesh, axis: str = "data",
-                        bn_on_output: bool = True):
+                        bn_on_output: bool = True,
+                        downsample: str = "pool", head: str = "v1"):
     """Build a jitted H-sharded detector forward: folded trunk + head →
     the (B, S, S, cc) detection grid, gathered. High-resolution serving
     twin of :func:`spatial_yolo_loss_fn`; decode the returned grid with
-    ops.pallas_decode.decode_nms_pallas as usual."""
+    ops.pallas_decode.decode_nms_pallas as usual.
+
+    Covers every served architecture: ``head="v1"`` (bn_on_output=True →
+    the reference quirk head; False → the plain --v2 anchor head) and
+    ``head="v2p"`` (the passthrough/reorg head), each with "pool" or
+    "stride" downsampling."""
+    if head not in ("v1", "v2p"):
+        raise ValueError(f"unknown spatial head {head!r}")
     fn = jax.jit(
         jax.shard_map(
             partial(_sharded_detector, axis_name=axis,
-                    bn_on_output=bn_on_output),
+                    bn_on_output=bn_on_output, downsample=downsample,
+                    head=head),
             mesh=mesh,
             in_specs=(P(), P(None, axis, None, None)),
             out_specs=P(None, axis, None, None),
@@ -139,7 +242,8 @@ def spatial_detector_fn(mesh: Mesh, axis: str = "data",
 
 
 def spatial_yolo_loss_fn(mesh: Mesh, cfg, axis: str = "data",
-                         bn_on_output: bool = True):
+                         bn_on_output: bool = True,
+                         downsample: str = "pool"):
     """Build a jitted H-sharded YOLO detection LOSS — spatial sharding
     for *training*, not just inference.
 
@@ -171,7 +275,8 @@ def spatial_yolo_loss_fn(mesh: Mesh, cfg, axis: str = "data",
     offset_t_np = offset_np.transpose(1, 0, 2).copy()       # [y,x,b] = y
 
     def _local(params, x, labels):
-        grid = _sharded_detector(params, x, axis, bn_on_output)
+        grid = _sharded_detector(params, x, axis, bn_on_output,
+                                 downsample)
         idx = lax.axis_index(axis)
         off = lax.dynamic_slice_in_dim(
             jnp.asarray(offset_np), idx * rows, rows, 0)
@@ -245,20 +350,17 @@ def _bn_sync(x: jnp.ndarray, bn: Mapping[str, jnp.ndarray],
 
 
 def _live_conv_bn(x, layer, axis_name, eps, valid_h, stats_out, key,
-                  activate=True):
+                  activate=True, stride=1):
     """One ConvBN (conv+bias → sync-BN → leaky → re-mask) on an H-shard.
 
-    Records the layer's batch (mean, var) into ``stats_out[key]`` for the
-    moving-average update. Masking after the activation keeps padded rows
-    at exact zero so the next layer's halo exchange delivers zeros — the
-    same values SAME zero padding gives the unsharded net at the image's
-    bottom edge."""
+    ``valid_h`` is the POST-conv valid height (callers halve it before a
+    stride-2 conv). Records the layer's batch (mean, var) into
+    ``stats_out[key]`` for the moving-average update. Masking after the
+    activation keeps padded rows at exact zero so the next layer's halo
+    exchange delivers zeros — the same values SAME zero padding gives
+    the unsharded net at the image's bottom edge."""
     p = layer["conv"]
-    k, b = p["kernel"], p["bias"]
-    if k.shape[0] == 3:
-        x = _conv(halo_exchange(x, axis_name), k, b, h_padding="VALID")
-    else:
-        x = _conv(x, k, b, h_padding="SAME")
+    x = _spatial_conv(x, p["kernel"], p["bias"], axis_name, stride)
     n = lax.axis_size(axis_name)
     h_local = x.shape[1]
     padded = valid_h != h_local * n
@@ -275,16 +377,20 @@ def _live_conv_bn(x, layer, axis_name, eps, valid_h, stats_out, key,
 
 
 def _sharded_detector_live(params, x, axis_name, valid_h, eps,
-                           bn_on_output, stats_out):
+                           bn_on_output, stats_out,
+                           downsample: str = "pool"):
     """UNFOLDED Darknet19 detector (trunk + head) with live sync-BN on
-    one H-shard. ``valid_h`` is the static un-padded input height;
-    ``stats_out`` collects every layer's batch stats (mirrors the Flax
-    ``batch_stats`` tree structure)."""
+    one H-shard, driven by the model's own conv schedule
+    (:func:`backbone_plan` — pool or stride downsampling). ``valid_h``
+    is the static un-padded input height; ``stats_out`` collects every
+    layer's batch stats (mirrors the Flax ``batch_stats`` tree
+    structure)."""
     bstats: dict = {}
-    conv_i = 0
     vh = valid_h
-    for item in _DARKNET19_SCHEDULE:
-        if item == "M":
+    for op in backbone_plan(downsample):
+        if op[0] == "mid":
+            continue
+        if op[0] == "pool":
             x = lax.reduce_window(
                 x, -jnp.inf, lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "SAME")
             vh = (vh + 1) // 2
@@ -294,10 +400,11 @@ def _sharded_detector_live(params, x, axis_name, valid_h, eps,
             if vh != x.shape[1] * n:
                 x = x * _row_mask(x.shape[1], axis_name, vh, x.dtype)
             continue
-        conv_i += 1
-        x = _live_conv_bn(x, params["backbone"][f"conv{conv_i}"],
-                          axis_name, eps, vh, bstats,
-                          f"conv{conv_i}")
+        _, name, _, stride = op
+        if stride == 2:
+            vh = (vh + 1) // 2  # SAME stride-2 valid height (pad-low 0)
+        x = _live_conv_bn(x, params["backbone"][name], axis_name, eps,
+                          vh, bstats, name, stride=stride)
     stats_out["backbone"] = {k: {"bn": v} for k, v in bstats.items()}
     head = params["detection"]
     hstats: dict = {}
@@ -320,7 +427,8 @@ def _sharded_detector_live(params, x, axis_name, valid_h, eps,
 def spatial_yolo_train_fn(mesh: Mesh, cfg, axis: str = "data",
                           bn_on_output: bool = True,
                           bn_momentum: float = 0.99,
-                          bn_epsilon: float = 1e-3):
+                          bn_epsilon: float = 1e-3,
+                          downsample: str = "pool"):
     """H-sharded YOLO training with LIVE BatchNorm — the full training
     semantics of the unsharded ``Trainer`` (train-mode batch statistics +
     moving-average updates), spatially sharded.
@@ -338,6 +446,9 @@ def spatial_yolo_train_fn(mesh: Mesh, cfg, axis: str = "data",
       convs (they deliver the same zeros SAME-padding does), to BN sums,
       and to the loss (padded grid rows and label rows are both zero).
       S % n is likewise not required.
+
+    ``downsample`` selects the trunk variant — "pool" (reference parity)
+    or "stride" (the pool-free train-perf variant; same param tree).
 
     Returns ``step_fn(params, batch_stats, images, labels) ->
     (loss, new_batch_stats)`` on the UNFOLDED param tree of
@@ -363,7 +474,8 @@ def spatial_yolo_train_fn(mesh: Mesh, cfg, axis: str = "data",
     def _local(params, stats, x, labels):
         new_stats: dict = {}
         grid = _sharded_detector_live(params, x, axis, 32 * cfg.S,
-                                      bn_epsilon, bn_on_output, new_stats)
+                                      bn_epsilon, bn_on_output, new_stats,
+                                      downsample)
         idx = lax.axis_index(axis)
         off = lax.dynamic_slice_in_dim(
             jnp.asarray(offset_np), idx * rows, rows, 0)
@@ -414,16 +526,17 @@ def spatial_yolo_train_fn(mesh: Mesh, cfg, axis: str = "data",
     return step_fn
 
 
-def spatial_backbone_fn(mesh: Mesh, axis: str = "data"):
+def spatial_backbone_fn(mesh: Mesh, axis: str = "data",
+                        downsample: str = "pool"):
     """Build a jitted H-sharded Darknet19 trunk forward.
 
     Returns ``fn(folded_params, images)`` where images (B, H, W, 3) are
     sharded on H over ``axis``; H must satisfy H % (32·mesh[axis]) == 0 so
-    every shard's height stays even through all five pools.
+    every shard's height stays even through all five downsamples.
     """
     fn = jax.jit(
         jax.shard_map(
-            partial(_sharded_trunk, axis_name=axis),
+            partial(_sharded_trunk, axis_name=axis, downsample=downsample),
             mesh=mesh,
             in_specs=(P(), P(None, axis, None, None)),
             out_specs=P(None, axis, None, None),

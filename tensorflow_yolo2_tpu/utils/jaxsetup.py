@@ -14,6 +14,18 @@ import os
 def enable_compilation_cache(cache_dir: str | None = None) -> None:
     import jax
 
+    # TFY2_PLATFORM=cpu forces the CPU backend for CLI entries — needed
+    # because a JAX_PLATFORMS env var alone loses to an installed TPU
+    # plugin (only the config update wins, and it must land before any
+    # backend initializes). E.g. running --spatial N on a 1-chip host:
+    #   TFY2_PLATFORM=cpu XLA_FLAGS=--xla_force_host_platform_device_count=N
+    platform = os.environ.get("TFY2_PLATFORM")
+    if platform:
+        try:
+            jax.config.update("jax_platforms", platform)
+        except Exception as e:
+            print(f"TFY2_PLATFORM={platform} not applied: {e}")
+
     cache_dir = cache_dir or os.environ.get(
         "TFY2_COMPILE_CACHE",
         os.path.join(os.environ.get("TFY2_ROOT", "/tmp"), "jax_cache"))
