@@ -45,7 +45,10 @@ def run_spatial_training(args, yolo, model, imdb, mgr, writer, sched,
 
     from jax.sharding import Mesh
 
-    from tensorflow_yolo2_tpu.parallel.spatial import spatial_yolo_train_fn
+    from tensorflow_yolo2_tpu.parallel.spatial import (
+        spatial_yolo_train_fn,
+        spatial_yolo_v2_train_fn,
+    )
     from tensorflow_yolo2_tpu.train.checkpoint import (
         merge_pytrees,
         warm_start_params,
@@ -61,10 +64,17 @@ def run_spatial_training(args, yolo, model, imdb, mgr, writer, sched,
             f"{len(devices)} (on CPU: "
             "XLA_FLAGS=--xla_force_host_platform_device_count=N)")
     mesh = Mesh(np.asarray(devices[:n]), ("spatial",))
-    step_fn = spatial_yolo_train_fn(mesh, yolo, axis="spatial",
-                                    bn_on_output=True,
-                                    bn_momentum=args.bn_momentum,
-                                    downsample=args.downsample)
+    if args.v2:
+        # anchor loss: the ignore term's global GT pool rides one
+        # all_gather of the label boxes (spatial_yolo_v2_train_fn)
+        step_fn = spatial_yolo_v2_train_fn(mesh, yolo, axis="spatial",
+                                           bn_momentum=args.bn_momentum,
+                                           downsample=args.downsample)
+    else:
+        step_fn = spatial_yolo_train_fn(mesh, yolo, axis="spatial",
+                                        bn_on_output=True,
+                                        bn_momentum=args.bn_momentum,
+                                        downsample=args.downsample)
 
     sample, _ = imdb.get()
     variables = model.init(jax.random.PRNGKey(args.seed),
@@ -116,10 +126,13 @@ def run_spatial_training(args, yolo, model, imdb, mgr, writer, sched,
                                               rep)
 
     @jax.jit
-    def train_step(params, stats, opt_state, images, labels):
+    def train_step(params, stats, opt_state, images, labels, step):
+        if args.v2:
+            fwd = lambda p: step_fn(p, stats, images, labels, step)
+        else:
+            fwd = lambda p: step_fn(p, stats, images, labels)
         (loss, new_stats), grads = jax.value_and_grad(
-            lambda p: step_fn(p, stats, images, labels),
-            has_aux=True)(params)
+            fwd, has_aux=True)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, new_stats, opt_state, loss
@@ -133,8 +146,11 @@ def run_spatial_training(args, yolo, model, imdb, mgr, writer, sched,
         images = jnp.asarray(images, jnp.float32)
         labels = jnp.asarray(labels, jnp.float32)
         timer.tic()
+        # step drives the v2 burn-in prior schedule (optax count before
+        # this update = i - 1 - the v1 path ignores it)
         params, stats, opt_state, loss = train_step(
-            params, stats, opt_state, images, labels)
+            params, stats, opt_state, images, labels,
+            jnp.asarray(i - 1, jnp.int32))
         timer.toc()
         if i % args.log_every == 0:
             lv = float(loss)
@@ -217,19 +233,21 @@ def main(argv: list[str] | None = None) -> int:
                         "devices via per-layer halo exchange and live "
                         "psum-synced BatchNorm (parallel.spatial."
                         "spatial_yolo_train_fn) — resolutions whose "
-                        "activations outgrow one chip. v1 grid head "
-                        "only (the v2 anchor loss's ignore term needs "
-                        "every GT box and is not row-splittable); "
+                        "activations outgrow one chip. Trains the v1 "
+                        "grid head or the plain --v2 anchor head (the "
+                        "ignore term's global GT pool rides one "
+                        "all_gather of the label boxes); "
                         "composes with --downsample stride. Needs N "
                         "local devices (CPU: XLA_FLAGS=--xla_force_"
                         "host_platform_device_count=N)")
     args = p.parse_args(argv)
     if args.spatial and args.spatial < 2:
         p.error("--spatial N needs N >= 2 (1 shard is the normal path)")
-    if args.spatial and args.v2:
-        p.error("--spatial trains the v1 grid loss (row-splittable "
-                "term sums); the v2 anchor loss's ignore-threshold "
-                "term needs every GT box in the image")
+    if args.spatial and args.passthrough:
+        p.error("--spatial trains the v1 grid or plain --v2 anchor "
+                "head; the passthrough/reorg head has no live-BN "
+                "spatial path yet (serving supports it: "
+                "pascal_detect_darknet --spatial --passthrough)")
     if args.spatial and (args.multiscale or args.uint8_transfer):
         p.error("--spatial composes with --downsample/--grad-clip/"
                 "--lr-decay but not --multiscale/--uint8-transfer")

@@ -75,13 +75,31 @@ def _anchor_shape_iou(anchors: jnp.ndarray, gt_wh: jnp.ndarray) -> jnp.ndarray:
 
 
 def yolo_v2_loss(net: jnp.ndarray, labels: jnp.ndarray, cfg: YoloConfig,
-                 step: jnp.ndarray | None = None
+                 step: jnp.ndarray | None = None, *,
+                 offsets=None, ignore_gt=None, noobj_valid=None
                  ) -> tuple[jnp.ndarray, YoloV2LossAux]:
     """net: (batch, S, S, B·(5+C)) per-slot head output (requires
     cfg.per_slot_classes and cfg.anchors); labels: (batch, S, S, 5+C)
     legacy grid or (batch, S, S, B, 5+C) per-slot grid. ``step`` (the
     optimizer step count) activates the burn-in prior term; None (e.g.
-    at eval) disables it."""
+    at eval) disables it.
+
+    The three keyword hooks make the loss row-splittable for spatial
+    (H-sharded) training (parallel.spatial.spatial_yolo_v2_train_fn —
+    every term is a per-cell sum EXCEPT the ignore-threshold term,
+    whose global GT pool the spatial caller assembles with one
+    all-gather):
+
+    - ``offsets``: ``(col_offset, row_offset)`` pair of (rows, S, B)
+      arrays carrying GLOBAL row indices, replacing ``cfg.offset``/its
+      transpose for a shard that owns only ``rows`` grid rows;
+    - ``ignore_gt``: ``(gt_all, gt_valid)`` of shapes (batch, N, 4) /
+      (batch, N) — the FULL image's ground-truth boxes (fractions) and
+      validity, replacing the local flatten in the ignore term;
+    - ``noobj_valid``: mask broadcastable to (batch, rows, S, B)
+      zeroing the no-object suppression on padding rows (σ(0)² is not
+      zero, so divisibility padding would otherwise leak loss).
+    """
     assert cfg.per_slot_classes and cfg.anchors, \
         "yolo_v2_loss needs the per-slot head layout with anchor priors"
     net = net.astype(jnp.float32)
@@ -90,8 +108,11 @@ def yolo_v2_loss(net: jnp.ndarray, labels: jnp.ndarray, cfg: YoloConfig,
     anchors = jnp.asarray(cfg.anchors, jnp.float32)  # (B, 2) cell units
 
     cls_logits, conf, raw_boxes = split_grid_v2(net, cfg)
-    offset = jnp.asarray(cfg.offset)                 # (S, S, B) col index
-    offset_t = jnp.transpose(offset, (1, 0, 2))
+    if offsets is None:
+        offset = jnp.asarray(cfg.offset)             # (S, S, B) col index
+        offset_t = jnp.transpose(offset, (1, 0, 2))
+    else:
+        offset, offset_t = offsets
 
     if labels.ndim == 4:
         # legacy one-object-per-cell grid: in-loss best-shape assignment
@@ -137,7 +158,8 @@ def yolo_v2_loss(net: jnp.ndarray, labels: jnp.ndarray, cfg: YoloConfig,
         jnp.sum(owner * coord_sq, axis=(1, 2, 3)))
 
     # --- objectness: live IoU target on owners ---
-    decoded = grid_to_absolute_v2(raw_boxes, cfg)     # (b, S, S, B, 4)
+    decoded = grid_to_absolute_v2(raw_boxes, cfg,
+                                  offsets=offsets)    # (b, S, S, B, 4)
     ious = box_iou(decoded, gt_slot)
     sconf = jax.nn.sigmoid(conf)
     object_loss = jnp.mean(jnp.sum(
@@ -148,10 +170,15 @@ def yolo_v2_loss(net: jnp.ndarray, labels: jnp.ndarray, cfg: YoloConfig,
     # slot whose decoded box overlaps ANY ground-truth object above the
     # threshold is exempt from suppression ---
     noobj_mask = 1.0 - owner
+    if noobj_valid is not None:
+        noobj_mask = noobj_mask * noobj_valid
     if cfg.v2_ignore_iou < 1.0:
         b = labels.shape[0]
-        gt_all = gt_slot.reshape(b, -1, 4)            # (b, N, 4)
-        gt_valid = owner.reshape(b, -1)               # (b, N)
+        if ignore_gt is None:
+            gt_all = gt_slot.reshape(b, -1, 4)        # (b, N, 4)
+            gt_valid = owner.reshape(b, -1)           # (b, N)
+        else:
+            gt_all, gt_valid = ignore_gt
         flat_dec = decoded.reshape(b, -1, 4)          # (b, M, 4)
         pair = box_iou(flat_dec[:, :, None, :], gt_all[:, None, :, :])
         best_any = jnp.max(pair * gt_valid[:, None, :], axis=-1)

@@ -95,16 +95,27 @@ def grid_to_absolute(raw_boxes: jnp.ndarray, cfg: YoloConfig,
     return jnp.stack([xs, ys, ws, hs], axis=-1)
 
 
-def grid_to_absolute_v2(raw_boxes: jnp.ndarray, cfg: YoloConfig) -> jnp.ndarray:
-    """YOLO2 anchor transform: sigmoid xy + anchor-scaled exp wh → cxcywh [0,1]."""
+def grid_to_absolute_v2(raw_boxes: jnp.ndarray, cfg: YoloConfig,
+                        offsets=None) -> jnp.ndarray:
+    """YOLO2 anchor transform: sigmoid xy + anchor-scaled exp wh → cxcywh [0,1].
+
+    ``offsets`` overrides the (column, row) index grids — a
+    ``(col_offset, row_offset)`` pair of (rows, S, B) arrays carrying
+    GLOBAL row indices, for the spatially-sharded v2 loss whose shard
+    sees only a row slice of the grid (parallel.spatial).
+    """
     S = cfg.S
     if cfg.anchors:
         anchors = jnp.asarray(cfg.anchors, dtype=raw_boxes.dtype)  # (B, 2) cell units
     else:
         anchors = jnp.ones((cfg.B, 2), dtype=raw_boxes.dtype)
-    offset = jnp.asarray(cfg.offset)
+    if offsets is None:
+        offset = jnp.asarray(cfg.offset)
+        offset_t = jnp.transpose(offset, (1, 0, 2))
+    else:
+        offset, offset_t = offsets
     xs = (jax.nn.sigmoid(raw_boxes[..., 0]) + offset) / float(S)
-    ys = (jax.nn.sigmoid(raw_boxes[..., 1]) + jnp.transpose(offset, (1, 0, 2))) / float(S)
+    ys = (jax.nn.sigmoid(raw_boxes[..., 1]) + offset_t) / float(S)
     # clamp the wh logits: exp of an unlucky activation must stay finite
     # (overflow poisons the IoU in the v2 loss with inf−inf → nan)
     tw = jnp.clip(raw_boxes[..., 2], -8.0, 8.0)

@@ -27,9 +27,10 @@ This is the CNN cousin of ring attention: per-layer neighbor exchanges
 activation. :func:`spatial_detector_fn` serves folded params (conv+bias
 only, models.fold) for any head/downsample; :func:`spatial_yolo_loss_fn`
 trains frozen-BN; :func:`spatial_yolo_train_fn` trains with live
-psum-synced BatchNorm (v1 grid loss — the v2 anchor loss's
-ignore-threshold term needs every GT box in the image and is not
-row-splittable).
+psum-synced BatchNorm (v1 grid loss); :func:`spatial_yolo_v2_train_fn`
+trains the v2 ANCHOR loss live — its ignore-threshold term needs every
+GT box in the image, which one ``all_gather`` of the (tiny) label boxes
+over the spatial axis supplies.
 """
 
 from __future__ import annotations
@@ -522,6 +523,120 @@ def spatial_yolo_train_fn(mesh: Mesh, cfg, axis: str = "data",
         labels = jax.device_put(
             labels, NamedSharding(mesh, P(None, axis, None, None)))
         return fn(params, batch_stats, images, labels)
+
+    return step_fn
+
+
+def spatial_yolo_v2_train_fn(mesh: Mesh, cfg, axis: str = "data",
+                             bn_momentum: float = 0.99,
+                             bn_epsilon: float = 1e-3,
+                             downsample: str = "pool"):
+    """H-sharded YOLOv2 ANCHOR-loss training with live sync-BN.
+
+    The v2 loss (losses.yolo_v2) is per-cell-sum row-splittable in every
+    term except the darknet ignore threshold, which exempts non-owner
+    slots whose decoded box overlaps ANY ground-truth object — a global
+    property of the image. This builder closes that gap with one
+    ``lax.all_gather`` of the (tiny) per-shard GT boxes over the spatial
+    axis (S·S·B boxes/image ≈ a few KB — negligible next to the per-layer
+    activation halos), then evaluates the loss locally with global row
+    offsets and the gathered GT pool (the ``offsets`` / ``ignore_gt`` /
+    ``noobj_valid`` hooks of :func:`losses.yolo_v2.yolo_v2_loss`) and
+    ``psum``s the per-shard value — numerically the unsharded
+    ``yolo_v2_loss`` on the full grid.
+
+    The head is the plain --v2 linear-output anchor head
+    (``Darknet19Detector(bn_on_output=False)``); trunk "pool" or
+    "stride". Divisibility is lifted exactly as in
+    :func:`spatial_yolo_train_fn` — inputs are zero-row-padded to
+    H % 32n == 0 and every layer re-masks, with the no-object term
+    masked off the padding rows (σ(0)² ≠ 0, unlike the v1 grid whose
+    zeroed outputs make pad-row terms vanish analytically).
+
+    Returns ``step_fn(params, batch_stats, images, labels, step) ->
+    (loss, new_batch_stats)``; labels are the per-slot grid
+    (B, S, S, B_anchors, 5+C) from ``data/voc.build_label_grid_v2``;
+    ``step`` (int array, the optimizer step count) drives the burn-in
+    prior schedule.
+    """
+    import numpy as np
+
+    from tensorflow_yolo2_tpu.losses.yolo_v2 import yolo_v2_loss
+
+    assert cfg.per_slot_classes and cfg.anchors, \
+        "spatial v2 training needs the per-slot anchor config"
+    n = mesh.shape[axis]
+    Sp = -(-cfg.S // n) * n
+    Hp = 32 * Sp
+    rows = Sp // n
+    offset_np = np.zeros((Sp, cfg.S, cfg.B), np.float32)
+    offset_np[:cfg.S] = np.asarray(cfg.offset, np.float32)      # x-index
+    offset_t_np = np.zeros((Sp, cfg.S, cfg.B), np.float32)
+    offset_t_np[:cfg.S] = np.asarray(
+        cfg.offset, np.float32).transpose(1, 0, 2)              # y-index
+
+    def _local(params, stats, x, labels, step):
+        new_stats: dict = {}
+        grid = _sharded_detector_live(params, x, axis, 32 * cfg.S,
+                                      bn_epsilon, False, new_stats,
+                                      downsample)
+        idx = lax.axis_index(axis)
+        off = lax.dynamic_slice_in_dim(
+            jnp.asarray(offset_np), idx * rows, rows, 0)
+        off_t = lax.dynamic_slice_in_dim(
+            jnp.asarray(offset_t_np), idx * rows, rows, 0)
+        # global GT pool for the ignore term: gather every shard's label
+        # boxes (padding rows carry owner=0 and are masked by validity)
+        b = labels.shape[0]
+        gt_local = labels[..., 1:5] / float(cfg.image_size)
+        gather = lambda v: jnp.moveaxis(
+            lax.all_gather(v, axis), 0, 1)          # (b, n, rows, S, B, …)
+        gt_all = gather(gt_local).reshape(b, -1, 4)
+        gt_valid = gather(labels[..., 0]).reshape(b, -1)
+        # (1, rows, 1, 1) broadcasts against the (b, rows, S, B) mask
+        noobj_valid = (None if Sp == cfg.S else
+                       _row_mask(rows, axis, cfg.S, grid.dtype))
+        loss, _ = yolo_v2_loss(grid, labels, cfg, step=step,
+                               offsets=(off, off_t),
+                               ignore_gt=(gt_all, gt_valid),
+                               noobj_valid=noobj_valid)
+        loss = lax.psum(loss, axis)
+        updated = jax.tree_util.tree_map(
+            lambda old, new: bn_momentum * old + (1 - bn_momentum) * new,
+            stats, new_stats)
+        return loss, updated
+
+    fn = jax.jit(
+        jax.shard_map(
+            _local,
+            mesh=mesh,
+            in_specs=(P(), P(), P(None, axis, None, None),
+                      P(None, axis, None, None, None), P()),
+            out_specs=(P(), P()),
+        )
+    )
+
+    def step_fn(params, batch_stats, images, labels, step):
+        if images.shape[1] != 32 * cfg.S or images.shape[2] != 32 * cfg.S:
+            raise ValueError(
+                f"images {images.shape[1]}×{images.shape[2]} do not map "
+                f"to cfg's S={cfg.S} grid — expected "
+                f"{32 * cfg.S}×{32 * cfg.S}")
+        if labels.ndim != 5 or labels.shape[1:4] != (cfg.S, cfg.S, cfg.B):
+            raise ValueError(
+                f"labels must be the per-slot (b, {cfg.S}, {cfg.S}, "
+                f"{cfg.B}, 5+C) grid, got {labels.shape}")
+        if Hp != 32 * cfg.S:  # pad rows to the shardable height
+            pad = Hp - 32 * cfg.S
+            images = jnp.pad(images, ((0, 0), (0, pad), (0, 0), (0, 0)))
+            labels = jnp.pad(labels, ((0, 0), (0, Sp - cfg.S), (0, 0),
+                                      (0, 0), (0, 0)))
+        images = jax.device_put(
+            images, NamedSharding(mesh, P(None, axis, None, None)))
+        labels = jax.device_put(
+            labels, NamedSharding(mesh, P(None, axis, None, None, None)))
+        return fn(params, batch_stats, images, labels,
+                  jnp.asarray(step, jnp.int32))
 
     return step_fn
 

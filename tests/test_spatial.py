@@ -452,6 +452,114 @@ def test_spatial_live_bn_stride_variant_matches_unsharded():
             assert err < 1e-6, (jax.tree_util.keystr(path), err)
 
 
+def _yolo_v2_labels(cfg, rng, batch=2):
+    """Per-slot (b, S, S, B, 5+C) grid with two objects per image on
+    distinct rows/slots (data/voc.build_label_grid_v2 layout)."""
+    C = cfg.num_class
+    labels = np.zeros((batch, cfg.S, cfg.S, cfg.B, 5 + C), np.float32)
+    cell = cfg.image_size // cfg.S
+    for b in range(batch):
+        for (r, c, slot) in ((0, 1, 0), (cfg.S - 1, 0, 2)):
+            labels[b, r, c, slot, 0] = 1.0
+            labels[b, r, c, slot, 1:5] = (c * cell + cell // 2,
+                                          r * cell + cell // 2,
+                                          rng.randint(20, 60),
+                                          rng.randint(20, 60))
+            labels[b, r, c, slot, 5 + rng.randint(C)] = 1.0
+    return labels
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("n,S", [(2, 4), (2, 3)])
+def test_spatial_v2_train_matches_unsharded(n, S):
+    """LIVE-BN spatial training of the v2 ANCHOR loss
+    (spatial_yolo_v2_train_fn): loss, param grads and the BN moving-stat
+    update through the n-way H-sharded detector must match the unsharded
+    yolo_v2_loss through Darknet19Detector(bn_on_output=False) — incl.
+    the ignore-threshold term, whose global GT pool the spatial path
+    assembles with an all_gather (the term the round-4 guard declared
+    non-row-splittable). v2_ignore_iou is dropped to 0.05 so the ignore
+    mask actually excludes slots (at the default 0.6 a random init never
+    trips it and the term would be untested); step=3 keeps the burn-in
+    prior term active (seen=6 < 12800). (2, 3) exercises the pad/mask
+    path — S=3 is not divisible by the 2-way axis, and unlike the v1
+    grid the v2 no-object term is NOT analytically zero on padding rows
+    (σ(0)² = 0.0625), so it tests the noobj_valid row mask. f64 for the
+    conditioning reasons documented on the v1 live-BN test."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from tensorflow_yolo2_tpu.config import yolo_v2_config
+    from tensorflow_yolo2_tpu.losses.yolo_v2 import yolo_v2_loss
+    from tensorflow_yolo2_tpu.models.darknet import Darknet19Detector
+    from tensorflow_yolo2_tpu.parallel.spatial import (
+        spatial_yolo_v2_train_fn,
+    )
+
+    with jax.enable_x64():
+        mesh = make_mesh(MeshConfig(data=n, model=1))
+        cfg = dataclasses.replace(yolo_v2_config(32 * S),
+                                  v2_ignore_iou=0.05)
+        model = Darknet19Detector(output_channels=cfg.cell_channels,
+                                  bn_on_output=False, bn_momentum=0.9,
+                                  dtype=jnp.float64,
+                                  param_dtype=jnp.float64)
+        rng = np.random.RandomState(11)
+        x = rng.normal(0, 1, (2, 32 * S, 32 * S, 3))
+        variables = model.init(jax.random.PRNGKey(0), x[:1, :32, :32],
+                               train=False)
+        params, stats = variables["params"], variables["batch_stats"]
+        labels = _yolo_v2_labels(cfg, rng).astype(np.float64)
+        step = jnp.asarray(3, jnp.int32)
+
+        step_fn = spatial_yolo_v2_train_fn(mesh, cfg, bn_momentum=0.9)
+
+        def sharded_loss(p):
+            return step_fn(p, stats, x, labels, step)[0]
+
+        def ref_loss(p):
+            grid, _ = model.apply({"params": p, "batch_stats": stats}, x,
+                                  train=True, mutable=["batch_stats"])
+            return yolo_v2_loss(grid, jnp.asarray(labels), cfg,
+                                step=step)[0]
+
+        got = float(sharded_loss(params))
+        want = float(ref_loss(params))
+        # looser than the v1 test's 1e-9: the sync-BN's E[x²]−E[x]²
+        # variance (vs flax's centered moment) costs a few ulps per
+        # layer, and the v2 loss's exp/sigmoid terms amplify — measured
+        # agreement ~2e-7, same order as the documented f64 grad noise
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+
+        # BN moving-stat update equivalence
+        _, new_stats = step_fn(params, stats, x, labels, step)
+        _, mut = model.apply({"params": params, "batch_stats": stats}, x,
+                             train=True, mutable=["batch_stats"])
+        want_stats = mut["batch_stats"]
+        assert jax.tree_util.tree_structure(new_stats) == \
+            jax.tree_util.tree_structure(want_stats)
+        for ks, vs in zip(jax.tree_util.tree_leaves_with_path(new_stats),
+                          jax.tree_util.tree_leaves_with_path(want_stats)):
+            np.testing.assert_allclose(np.asarray(ks[1]),
+                                       np.asarray(vs[1]),
+                                       rtol=1e-7, atol=1e-10,
+                                       err_msg=str(ks[0]))
+
+        g_sharded = jax.grad(sharded_loss)(params)
+        g_ref = jax.grad(ref_loss)(params)
+        for (path, gs), (_, gr) in zip(
+                jax.tree_util.tree_leaves_with_path(g_sharded),
+                jax.tree_util.tree_leaves_with_path(g_ref)):
+            gs, gr = np.asarray(gs), np.asarray(gr)
+            scale = np.max(np.abs(gr))
+            if scale < 1e-8:
+                assert np.max(np.abs(gs)) < 1e-8, jax.tree_util.keystr(path)
+                continue
+            err = np.max(np.abs(gs - gr)) / scale
+            assert err < 1e-6, (jax.tree_util.keystr(path), err)
+
+
 @pytest.mark.slow
 def test_spatial_finetune_descends():
     """Optimizing the folded params through the H-sharded loss descends —
