@@ -27,6 +27,9 @@ def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--v2", action="store_true",
                     help="evaluate the anchor-head snapshot")
+    ap.add_argument("--passthrough", action="store_true",
+                    help="with --v2: the full reorg-head snapshot "
+                         "(darknet19_v2p; int8 head='detector_v2p')")
     ap.add_argument("--threshold", type=float, default=0.005)
     ap.add_argument("--max-images", type=int, default=None)
     args = ap.parse_args()
@@ -42,13 +45,15 @@ def main() -> None:
     )
     from tensorflow_yolo2_tpu.entries.pascal_eval_map import run_eval
 
+    if args.passthrough and not args.v2:
+        ap.error("--passthrough requires --v2")
     if args.v2:
         # decode with the snapshot's persisted priors (anchors.json —
         # k-means dimension clusters — when present)
         from tensorflow_yolo2_tpu.data.anchors import v2_config_for_snapshot
-        yolo = v2_config_for_snapshot("darknet19_v2", "voc_2007")
-        params, stats = load_detector_params(yolo,
-                                             network_name="darknet19_v2")
+        net = "darknet19_v2p" if args.passthrough else "darknet19_v2"
+        yolo = v2_config_for_snapshot(net, "voc_2007")
+        params, stats = load_detector_params(yolo, network_name=net)
     else:
         yolo = YoloConfig()
         params, stats = load_detector_params(yolo)
@@ -58,12 +63,15 @@ def main() -> None:
 
     detectors = {
         "bf16": make_detect_fn(yolo, params, stats, args.threshold,
-                               use_nms=True, v2=args.v2),
+                               use_nms=True, v2=args.v2,
+                               passthrough=args.passthrough),
         "int8": make_detect_fn(yolo, params, stats, args.threshold,
                                use_nms=True, v2=args.v2, int8=True,
+                               passthrough=args.passthrough,
                                calib_images=calib),
     }
-    result: dict = {"head": "v2" if args.v2 else "v1"}
+    result: dict = {"head": ("v2p" if args.passthrough else "v2")
+                    if args.v2 else "v1"}
     for split, set_name in (("train", "trainval"), ("val", "test")):
         imdb = PascalVOC(set_name, batch_size=8, yolo=yolo)
         for mode, detect in detectors.items():

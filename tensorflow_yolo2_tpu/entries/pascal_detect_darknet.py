@@ -102,10 +102,6 @@ def make_detect_fn(yolo: YoloConfig, params, batch_stats,
     if passthrough and not v2:
         raise ValueError("passthrough is the YOLOv2 reorg head — it "
                          "requires v2=True (the anchor layout)")
-    if passthrough and int8:
-        raise ValueError("int8 serving covers the sequential conv chains "
-                         "(ops.quant); the passthrough head's concat "
-                         "route is not quantized yet")
     if pallas_stem:
         # the fused VMEM stem (ops.pallas_stem) replaces the first two
         # conv+pool stages; it covers the sequential folded bf16 chain.
@@ -133,7 +129,7 @@ def make_detect_fn(yolo: YoloConfig, params, batch_stats,
                              "is required")
         return _make_detect_fn_int8(yolo, params, batch_stats,
                                     object_thresh, use_nms, nms_iou, v2,
-                                    calib_images)
+                                    calib_images, passthrough=passthrough)
     bn_on_output = not v2
 
     def build_model(folded: bool):
@@ -264,28 +260,36 @@ def make_spatial_detect_fn(yolo: YoloConfig, params, batch_stats,
     return detect
 
 
-def quantize_detector(params, batch_stats, calib_images, v2: bool = False):
-    """Fold BN and post-training-quantize a detector → int8 layer chain."""
+def quantize_detector(params, batch_stats, calib_images, v2: bool = False,
+                      passthrough: bool = False):
+    """Fold BN and post-training-quantize a detector → int8 layer chain.
+
+    ``passthrough`` quantizes the full YOLOv2 reorg architecture
+    (ops.quant head="detector_v2p": passthrough conv + int8
+    space-to-depth/concat at the shared conv3 input scale)."""
     from tensorflow_yolo2_tpu.ops.quant import calibrate, quantize_folded
 
+    head = "detector_v2p" if passthrough else "detector"
     folded = fold_params(params, batch_stats)
     scales = calibrate(folded, jnp.asarray(calib_images, jnp.float32),
-                       v2=v2)
-    return quantize_folded(folded, scales, v2=v2)
+                       v2=v2, head=head)
+    return quantize_folded(folded, scales, v2=v2, head=head)
 
 
 def make_detect_fn_int8(yolo: YoloConfig, qlayers,
                         object_thresh: float = 0.5, use_nms: bool = False,
-                        nms_iou: float = 0.5, v2: bool = False):
+                        nms_iou: float = 0.5, v2: bool = False,
+                        passthrough: bool = False):
     """Jitted detect fn over a prebuilt int8 chain (quantize_detector or
     a loaded ops.quant.save_quantized artifact)."""
     from tensorflow_yolo2_tpu.ops.quant import forward_int8
 
+    head = "detector_v2p" if passthrough else "detector"
     qlayers = jax.device_put(tuple(qlayers))
 
     @jax.jit
     def _detect(qlayers, images: jnp.ndarray) -> Detections:
-        grid = forward_int8(qlayers, images, v2=v2)
+        grid = forward_int8(qlayers, images, v2=v2, head=head)
         if use_nms:
             return decode_nms_pallas(grid, yolo, object_thresh, nms_iou,
                                      max_outputs=32)
@@ -304,11 +308,13 @@ def make_detect_fn_int8(yolo: YoloConfig, qlayers,
 
 def _make_detect_fn_int8(yolo: YoloConfig, params, batch_stats,
                          object_thresh: float, use_nms: bool,
-                         nms_iou: float, v2: bool, calib_images):
+                         nms_iou: float, v2: bool, calib_images,
+                         passthrough: bool = False):
     """int8 variant of make_detect_fn: quantized forward + same decode."""
-    qlayers = quantize_detector(params, batch_stats, calib_images, v2=v2)
+    qlayers = quantize_detector(params, batch_stats, calib_images, v2=v2,
+                                passthrough=passthrough)
     return make_detect_fn_int8(yolo, qlayers, object_thresh, use_nms,
-                               nms_iou, v2)
+                               nms_iou, v2, passthrough=passthrough)
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -384,9 +390,6 @@ def main(argv: list[str] | None = None) -> int:
                 "drop --no-fold-bn")
     if args.passthrough and not args.v2:
         p.error("--passthrough is the YOLOv2 reorg head; it requires --v2")
-    if args.passthrough and (args.int8 or args.int8_weights):
-        p.error("int8 serving does not cover the passthrough head's "
-                "concat route yet")
     if args.downsample == "stride" and (args.int8 or args.int8_weights):
         p.error("int8 serving covers the pool-based parity chain "
                 "(ops.quant layer plan); the stride variant is bf16-only")
@@ -424,25 +427,32 @@ def main(argv: list[str] | None = None) -> int:
         from tensorflow_yolo2_tpu.ops.quant import load_quantized
 
         qlayers, meta = load_quantized(args.int8_weights)
-        for key, want in (("v2", args.v2), ("image_size", yolo.image_size)):
+        for key, want in (("v2", args.v2),
+                          ("passthrough", args.passthrough),
+                          ("image_size", yolo.image_size)):
             if key in meta and meta[key] != want:
                 p.error(f"--int8-weights artifact was quantized with "
                         f"{key}={meta[key]}, run requests {want}")
         detect = make_detect_fn_int8(yolo, qlayers, args.threshold,
-                                     use_nms=use_nms, v2=args.v2)
+                                     use_nms=use_nms, v2=args.v2,
+                                     passthrough=args.passthrough)
     elif args.int8:
         if not stats:
             p.error("--int8 needs BatchNorm statistics to fold before "
                     "quantizing — the restored snapshot has none")
-        qlayers = quantize_detector(params, stats, image[None], v2=args.v2)
+        qlayers = quantize_detector(params, stats, image[None], v2=args.v2,
+                                    passthrough=args.passthrough)
         if args.int8_export:
             from tensorflow_yolo2_tpu.ops.quant import save_quantized
 
             save_quantized(args.int8_export, qlayers,
-                           {"v2": args.v2, "image_size": yolo.image_size})
+                           {"v2": args.v2,
+                            "passthrough": args.passthrough,
+                            "image_size": yolo.image_size})
             print(f"Exported int8 artifact to {args.int8_export}")
         detect = make_detect_fn_int8(yolo, qlayers, args.threshold,
-                                     use_nms=use_nms, v2=args.v2)
+                                     use_nms=use_nms, v2=args.v2,
+                                     passthrough=args.passthrough)
     elif args.spatial:
         detect = make_spatial_detect_fn(
             yolo, params, stats, args.threshold, use_nms=use_nms,

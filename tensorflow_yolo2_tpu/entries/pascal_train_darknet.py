@@ -66,10 +66,12 @@ def run_spatial_training(args, yolo, model, imdb, mgr, writer, sched,
     mesh = Mesh(np.asarray(devices[:n]), ("spatial",))
     if args.v2:
         # anchor loss: the ignore term's global GT pool rides one
-        # all_gather of the label boxes (spatial_yolo_v2_train_fn)
-        step_fn = spatial_yolo_v2_train_fn(mesh, yolo, axis="spatial",
-                                           bn_momentum=args.bn_momentum,
-                                           downsample=args.downsample)
+        # all_gather of the label boxes (spatial_yolo_v2_train_fn);
+        # --passthrough selects the reorg head (shard-local s2d)
+        step_fn = spatial_yolo_v2_train_fn(
+            mesh, yolo, axis="spatial", bn_momentum=args.bn_momentum,
+            downsample=args.downsample,
+            head="v2p" if args.passthrough else "v2")
     else:
         step_fn = spatial_yolo_train_fn(mesh, yolo, axis="spatial",
                                         bn_on_output=True,
@@ -234,20 +236,17 @@ def main(argv: list[str] | None = None) -> int:
                         "psum-synced BatchNorm (parallel.spatial."
                         "spatial_yolo_train_fn) — resolutions whose "
                         "activations outgrow one chip. Trains the v1 "
-                        "grid head or the plain --v2 anchor head (the "
+                        "grid head, the plain --v2 anchor head (the "
                         "ignore term's global GT pool rides one "
-                        "all_gather of the label boxes); "
-                        "composes with --downsample stride. Needs N "
+                        "all_gather of the label boxes) or the full "
+                        "--v2 --passthrough reorg head (shard-local "
+                        "space-to-depth); composes with --downsample "
+                        "stride. Needs N "
                         "local devices (CPU: XLA_FLAGS=--xla_force_"
                         "host_platform_device_count=N)")
     args = p.parse_args(argv)
     if args.spatial and args.spatial < 2:
         p.error("--spatial N needs N >= 2 (1 shard is the normal path)")
-    if args.spatial and args.passthrough:
-        p.error("--spatial trains the v1 grid or plain --v2 anchor "
-                "head; the passthrough/reorg head has no live-BN "
-                "spatial path yet (serving supports it: "
-                "pascal_detect_darknet --spatial --passthrough)")
     if args.spatial and (args.multiscale or args.uint8_transfer):
         p.error("--spatial composes with --downsample/--grad-clip/"
                 "--lr-decay but not --multiscale/--uint8-transfer")

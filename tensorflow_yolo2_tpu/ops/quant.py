@@ -34,7 +34,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from tensorflow_yolo2_tpu.models.darknet import _DARKNET19_SCHEDULE
-from tensorflow_yolo2_tpu.models.layers import leaky_relu
+from tensorflow_yolo2_tpu.models.layers import leaky_relu, space_to_depth
 
 _DIMS = ("NHWC", "HWIO", "NHWC")
 
@@ -51,12 +51,26 @@ def layer_plan(v2: bool = False, head: str = "detector"):
     pascal_train_darknet --v2). ``head="classifier"`` appends the 1×1
     conv19 logits conv (activated — darknet.py:115); the global average
     pool runs in f32 after the chain (forward_int8_classifier).
+
+    ``head="detector_v2p"`` is the full YOLOv2 passthrough/reorg
+    architecture (models.darknet.Darknet19DetectorV2): the plan gains a
+    ``"mid"`` marker capturing the (H/16, 512) map before the last pool
+    and a ``"pt"`` step that runs the passthrough 1×1 conv on it,
+    space-to-depth-reorgs, and concatenates onto the main path. The
+    concat halves are requantized to ONE shared per-tensor scale (the
+    calibrated conv3-input scale) so conv3 keeps the standard
+    s_in·s_w[o] dequant factorization; output conv is linear.
     """
     plan: list = []
     convs: list = []
     i = 0
+    pool_i = 0
+    n_pools = sum(1 for item in _DARKNET19_SCHEDULE if item == "M")
     for item in _DARKNET19_SCHEDULE:
         if item == "M":
+            pool_i += 1
+            if pool_i == n_pools and head == "detector_v2p":
+                plan.append("mid")
             plan.append("pool")
         else:
             i += 1
@@ -65,6 +79,17 @@ def layer_plan(v2: bool = False, head: str = "detector"):
     if head == "classifier":
         plan.append("conv")
         convs.append((("conv19",), not v2))
+        return tuple(plan), tuple(convs)
+    if head == "detector_v2p":
+        for j in (1, 2):
+            plan.append("conv")
+            convs.append((("detection", f"conv{j}"), True))
+        plan.append("pt")
+        convs.append((("detection", "passthrough"), True))
+        plan.append("conv")
+        convs.append((("detection", "conv3"), True))
+        plan.append("conv")
+        convs.append((("detection", "output"), False))
         return tuple(plan), tuple(convs)
     for j in range(1, 4):
         plan.append("conv")
@@ -118,11 +143,29 @@ def calibrate(params: Mapping[str, Any], images: jnp.ndarray,
 
     x = jnp.asarray(images, jnp.float32)
     amaxes = [amax(x)]
+    mid = None
     ci = 0
-    for step in plan:
+    for si, step in enumerate(plan):
         if step == "pool":
             x = lax.reduce_window(x, -jnp.inf, lax.max,
                                   (1, 2, 2, 1), (1, 2, 2, 1), "SAME")
+            continue
+        if step == "mid":
+            mid = x
+            continue
+        if step == "pt":
+            # passthrough conv input = the captured mid map; its scale
+            # slot sits between conv2's and conv3's in the conv order
+            amaxes.append(amax(mid))
+            (path, _) = convs[ci]
+            ci += 1
+            kernel, bias = _conv_params(params, path)
+            p = lax.conv_general_dilated(
+                mid, kernel, (1, 1), "SAME",
+                dimension_numbers=_DIMS) + bias
+            x = jnp.concatenate([x, space_to_depth(leaky_relu(p))],
+                                axis=-1)
+            amaxes.append(amax(x))  # conv3's input = the concat tensor
             continue
         (path, activated) = convs[ci]
         ci += 1
@@ -131,7 +174,9 @@ def calibrate(params: Mapping[str, Any], images: jnp.ndarray,
             x, kernel, (1, 1), "SAME", dimension_numbers=_DIMS) + bias
         if activated:
             x = leaky_relu(x)
-        if ci < len(convs):
+        if ci < len(convs) and plan[si + 1] != "pt":
+            # (after the conv feeding a "pt" step the next two scale
+            # slots — passthrough input, concat — are recorded there)
             amaxes.append(amax(x))
     scales = jnp.stack(amaxes) / 127.0
     return jnp.maximum(scales, 1e-8)
@@ -185,10 +230,31 @@ def forward_int8(layers: Sequence[Mapping[str, jnp.ndarray]],
     if x.dtype == jnp.uint8:
         x = x.astype(jnp.float32) / 255.0 * 2.0 - 1.0
     x = _quantize_act(x.astype(jnp.float32), layers[0]["inv_in"])
+    mid = None
     ci = 0
-    for step in plan:
+    for si, step in enumerate(plan):
         if step == "pool":
             x = _max_pool_int8(x)
+            continue
+        if step == "mid":
+            # the int8 tensor right before the last pool — already
+            # quantized at the next conv's input scale, which calibrate
+            # records on the SAME tensor it stores in the passthrough
+            # slot, so the pt conv dequantizes it consistently
+            mid = x
+            continue
+        if step == "pt":
+            layer = layers[ci]
+            ci += 1
+            acc = lax.conv_general_dilated(
+                mid, layer["kernel"], (1, 1), "SAME",
+                dimension_numbers=_DIMS,
+                preferred_element_type=jnp.int32)
+            p = acc.astype(jnp.float32) * layer["scale"] + layer["bias"]
+            # both concat halves requantize to conv3's shared input
+            # scale; space-to-depth is a pure layout op and stays int8
+            p = _quantize_act(leaky_relu(p), layers[ci]["inv_in"])
+            x = jnp.concatenate([x, space_to_depth(p)], axis=-1)
             continue
         layer = layers[ci]
         (_, activated) = convs[ci]
@@ -200,7 +266,11 @@ def forward_int8(layers: Sequence[Mapping[str, jnp.ndarray]],
         if activated:
             y = leaky_relu(y)
         if ci < len(layers):
-            x = _quantize_act(y, layers[ci]["inv_in"])
+            # main-path requant target: the next conv that consumes x —
+            # when a "pt" step intervenes (after the head's conv2) that
+            # is the conv AFTER the passthrough entry (conv3)
+            nxt = ci + 1 if plan[si + 1] == "pt" else ci
+            x = _quantize_act(y, layers[nxt]["inv_in"])
         else:
             return y
     raise AssertionError("plan ended without the output conv")

@@ -30,7 +30,8 @@ trains frozen-BN; :func:`spatial_yolo_train_fn` trains with live
 psum-synced BatchNorm (v1 grid loss); :func:`spatial_yolo_v2_train_fn`
 trains the v2 ANCHOR loss live — its ignore-threshold term needs every
 GT box in the image, which one ``all_gather`` of the (tiny) label boxes
-over the spatial axis supplies.
+over the spatial axis supplies — on the plain linear anchor head or the
+full passthrough/reorg head (``head="v2p"``).
 """
 
 from __future__ import annotations
@@ -379,17 +380,26 @@ def _live_conv_bn(x, layer, axis_name, eps, valid_h, stats_out, key,
 
 def _sharded_detector_live(params, x, axis_name, valid_h, eps,
                            bn_on_output, stats_out,
-                           downsample: str = "pool"):
+                           downsample: str = "pool", head: str = "v1"):
     """UNFOLDED Darknet19 detector (trunk + head) with live sync-BN on
     one H-shard, driven by the model's own conv schedule
     (:func:`backbone_plan` — pool or stride downsampling). ``valid_h``
     is the static un-padded input height; ``stats_out`` collects every
     layer's batch stats (mirrors the Flax ``batch_stats`` tree
-    structure)."""
+    structure). ``head="v1"`` is the 3-conv grid/anchor head
+    (``bn_on_output`` selects the reference quirk vs the plain --v2
+    linear output); ``head="v2p"`` is the passthrough/reorg head
+    (models.darknet.DetectionHeadV2) with live sync-BN on all four of
+    its ConvBNs — the H/16 mid map's shard height (2·Sp/n) is even, so
+    the space-to-depth reorg stays shard-local exactly as in the folded
+    serving path."""
     bstats: dict = {}
     vh = valid_h
+    mid = vh_mid = None
     for op in backbone_plan(downsample):
         if op[0] == "mid":
+            if head == "v2p":
+                mid, vh_mid = x, vh
             continue
         if op[0] == "pool":
             x = lax.reduce_window(
@@ -407,16 +417,36 @@ def _sharded_detector_live(params, x, axis_name, valid_h, eps,
         x = _live_conv_bn(x, params["backbone"][name], axis_name, eps,
                           vh, bstats, name, stride=stride)
     stats_out["backbone"] = {k: {"bn": v} for k, v in bstats.items()}
-    head = params["detection"]
+    head_p = params["detection"]
     hstats: dict = {}
+    if head == "v2p":
+        for i in (1, 2):
+            x = _live_conv_bn(x, head_p[f"conv{i}"], axis_name, eps, vh,
+                              hstats, f"conv{i}")
+        pt = _live_conv_bn(mid, head_p["passthrough"], axis_name, eps,
+                           vh_mid, hstats, "passthrough")
+        # local reorg: shard mid height 2·Sp/n is even and shard start
+        # rows are even, so 2×2 blocks never straddle a boundary; padded
+        # mid rows (re-masked to zero above) land on padded grid rows
+        pt = space_to_depth(pt)
+        x = jnp.concatenate([x, pt.astype(x.dtype)], axis=-1)
+        x = _live_conv_bn(x, head_p["conv3"], axis_name, eps, vh,
+                          hstats, "conv3")
+        p = head_p["output"]["conv"]
+        x = _conv(x, p["kernel"], p["bias"], h_padding="SAME")
+        n = lax.axis_size(axis_name)
+        if vh != x.shape[1] * n:
+            x = x * _row_mask(x.shape[1], axis_name, vh, x.dtype)
+        stats_out["detection"] = {k: {"bn": v} for k, v in hstats.items()}
+        return x.astype(jnp.float32)
     for i in range(1, 4):
-        x = _live_conv_bn(x, head[f"conv{i}"], axis_name, eps, vh,
+        x = _live_conv_bn(x, head_p[f"conv{i}"], axis_name, eps, vh,
                           hstats, f"conv{i}")
     if bn_on_output:
-        x = _live_conv_bn(x, head["output"], axis_name, eps, vh,
+        x = _live_conv_bn(x, head_p["output"], axis_name, eps, vh,
                           hstats, "output")
     else:
-        p = head["output"]["conv"]
+        p = head_p["output"]["conv"]
         x = _conv(x, p["kernel"], p["bias"], h_padding="SAME")
         n = lax.axis_size(axis_name)
         if vh != x.shape[1] * n:
@@ -530,7 +560,8 @@ def spatial_yolo_train_fn(mesh: Mesh, cfg, axis: str = "data",
 def spatial_yolo_v2_train_fn(mesh: Mesh, cfg, axis: str = "data",
                              bn_momentum: float = 0.99,
                              bn_epsilon: float = 1e-3,
-                             downsample: str = "pool"):
+                             downsample: str = "pool",
+                             head: str = "v2"):
     """H-sharded YOLOv2 ANCHOR-loss training with live sync-BN.
 
     The v2 loss (losses.yolo_v2) is per-cell-sum row-splittable in every
@@ -545,9 +576,12 @@ def spatial_yolo_v2_train_fn(mesh: Mesh, cfg, axis: str = "data",
     ``psum``s the per-shard value — numerically the unsharded
     ``yolo_v2_loss`` on the full grid.
 
-    The head is the plain --v2 linear-output anchor head
-    (``Darknet19Detector(bn_on_output=False)``); trunk "pool" or
-    "stride". Divisibility is lifted exactly as in
+    ``head`` selects the architecture: ``"v2"`` is the plain linear-
+    output anchor head (``Darknet19Detector(bn_on_output=False)``);
+    ``"v2p"`` is the full passthrough/reorg head
+    (``Darknet19DetectorV2`` — live sync-BN on its four head ConvBNs,
+    shard-local space-to-depth on the H/16 mid map); trunk "pool" or
+    "stride" for either. Divisibility is lifted exactly as in
     :func:`spatial_yolo_train_fn` — inputs are zero-row-padded to
     H % 32n == 0 and every layer re-masks, with the no-object term
     masked off the padding rows (σ(0)² ≠ 0, unlike the v1 grid whose
@@ -565,6 +599,8 @@ def spatial_yolo_v2_train_fn(mesh: Mesh, cfg, axis: str = "data",
 
     assert cfg.per_slot_classes and cfg.anchors, \
         "spatial v2 training needs the per-slot anchor config"
+    if head not in ("v2", "v2p"):
+        raise ValueError(f"unknown spatial v2 head {head!r}")
     n = mesh.shape[axis]
     Sp = -(-cfg.S // n) * n
     Hp = 32 * Sp
@@ -579,7 +615,7 @@ def spatial_yolo_v2_train_fn(mesh: Mesh, cfg, axis: str = "data",
         new_stats: dict = {}
         grid = _sharded_detector_live(params, x, axis, 32 * cfg.S,
                                       bn_epsilon, False, new_stats,
-                                      downsample)
+                                      downsample, head=head)
         idx = lax.axis_index(axis)
         off = lax.dynamic_slice_in_dim(
             jnp.asarray(offset_np), idx * rows, rows, 0)

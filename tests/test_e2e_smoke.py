@@ -400,6 +400,39 @@ def test_spatial_v2_train_then_detect_cli(tmp_root):
     assert os.path.exists(out_path)
 
 
+@pytest.mark.slow
+def test_spatial_v2p_train_then_detect_cli(tmp_root):
+    """--spatial 2 --v2 --passthrough end-to-end: the FULL YOLOv2
+    architecture (reorg head) trained H-sharded with live sync-BN
+    (spatial_yolo_v2_train_fn(head='v2p') — shard-local space-to-depth
+    on the H/16 mid map) → snapshot + anchors.json → spatially-sharded
+    --v2 --passthrough serving from the same snapshot."""
+    from tensorflow_yolo2_tpu.entries import (
+        pascal_detect_darknet,
+        pascal_train_darknet,
+    )
+
+    voc = synthetic.make_voc(str(tmp_root / "data" / "VOCdevkit"),
+                             n_images=3)
+    rc = pascal_train_darknet.main([
+        "--iters", "2", "--batch-size", "2", "--num-workers", "1",
+        "--save-every", "2", "--log-every", "1", "--data-path", voc,
+        "--compute-dtype", "float32", "--spatial", "2", "--v2",
+        "--passthrough", "--bn-momentum", "0.9"])
+    assert rc == 0
+    ckpt = tmp_root / "ckpts" / "darknet19_v2p" / "voc_2007"
+    assert (ckpt / "train_iter_2").exists()
+    assert (ckpt / "anchors.json").exists()
+
+    image = os.path.join(voc, "JPEGImages", "000000.jpg")
+    out_path = str(tmp_root / "out_spatial_v2p.png")
+    rc = pascal_detect_darknet.main(
+        [image, "--threshold", "0.05", "--nms", "--image-size", "128",
+         "--spatial", "2", "--v2", "--passthrough", "--out", out_path])
+    assert rc == 0
+    assert os.path.exists(out_path)
+
+
 def test_spatial_cli_guards(tmp_root):
     """--spatial flag validation on both entries."""
     from tensorflow_yolo2_tpu.entries import (
@@ -410,8 +443,9 @@ def test_spatial_cli_guards(tmp_root):
     with pytest.raises(SystemExit):
         pascal_train_darknet.main(["--spatial", "1"])
     with pytest.raises(SystemExit):
-        pascal_train_darknet.main(["--spatial", "2", "--v2",
-                                   "--passthrough"])
+        # passthrough is a --v2 head; bare --spatial --passthrough
+        # still fails the v2 requirement
+        pascal_train_darknet.main(["--spatial", "2", "--passthrough"])
     with pytest.raises(SystemExit):
         pascal_train_darknet.main(["--spatial", "2", "--uint8-transfer"])
     with pytest.raises(SystemExit):

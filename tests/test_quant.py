@@ -9,6 +9,8 @@ benchmarks/int8_quality.py).
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -97,6 +99,72 @@ def test_forward_int8_v2_linear_output():
     rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
     assert out.shape == ref.shape
     assert rel < 0.05, f"v2 int8 grid diverges: rel RMS {rel:.4f}"
+
+
+def test_layer_plan_v2p():
+    plan, convs = layer_plan(head="detector_v2p")
+    assert plan.count("conv") == 22 and plan.count("pool") == 5
+    assert plan.count("mid") == 1 and plan.count("pt") == 1
+    # mid is captured immediately before the LAST pool
+    assert plan[plan.index("mid") + 1] == "pool"
+    assert plan.index("mid") > plan.index("pool")
+    assert len(convs) == 23
+    assert convs[-3] == (("detection", "passthrough"), True)
+    assert convs[-1] == (("detection", "output"), False)
+
+
+def test_forward_int8_v2p_passthrough_matches_f32():
+    """int8 quantization of the FULL YOLOv2 reorg architecture
+    (head="detector_v2p"): the passthrough conv runs int8 on the
+    pre-pool mid tensor (whose quantization scale calibrate records on
+    the same tensor twice — once for the post-pool conv, once for the
+    passthrough slot), the space-to-depth reorg stays int8, and both
+    concat halves requantize to conv3's shared input scale."""
+    from tensorflow_yolo2_tpu.models.darknet import Darknet19DetectorV2
+
+    yolo = yolo_v2_config(_IMG)
+    model = Darknet19DetectorV2(output_channels=yolo.cell_channels)
+    variables = model.init(jax.random.PRNGKey(7),
+                           jnp.zeros((1, _IMG, _IMG, 3)), train=False)
+    folded = fold_params(variables["params"], variables["batch_stats"])
+    fmodel = Darknet19DetectorV2(output_channels=yolo.cell_channels,
+                                 fold_bn=True)
+    images = jnp.asarray(np.random.RandomState(3).uniform(
+        -1, 1, (2, _IMG, _IMG, 3)), jnp.float32)
+    ref = fmodel.apply({"params": folded}, images, train=False)
+    scales = calibrate(folded, images, head="detector_v2p")
+    assert scales.shape == (23,)
+    layers = quantize_folded(folded, scales, head="detector_v2p")
+    assert len(layers) == 23
+    out = jax.jit(partial(forward_int8, head="detector_v2p"))(
+        layers, images)
+    assert out.shape == ref.shape == (2, yolo.S, yolo.S,
+                                      yolo.cell_channels)
+    rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
+    assert rel < 0.05, f"v2p int8 grid diverges: rel RMS {rel:.4f}"
+
+
+def test_detect_fn_int8_v2p_smoke():
+    """make_detect_fn(int8=True, passthrough=True) serves the quantized
+    reorg head end-to-end through the fused decode+NMS."""
+    from tensorflow_yolo2_tpu.entries.pascal_detect_darknet import (
+        make_detect_fn,
+    )
+    from tensorflow_yolo2_tpu.models.darknet import Darknet19DetectorV2
+
+    yolo = yolo_v2_config(_IMG)
+    model = Darknet19DetectorV2(output_channels=yolo.cell_channels)
+    variables = model.init(jax.random.PRNGKey(8),
+                           jnp.zeros((1, _IMG, _IMG, 3)), train=False)
+    images = jnp.asarray(np.random.RandomState(9).uniform(
+        -1, 1, (2, _IMG, _IMG, 3)), jnp.float32)
+    detect = make_detect_fn(yolo, variables["params"],
+                            variables["batch_stats"], object_thresh=0.0,
+                            use_nms=True, v2=True, passthrough=True,
+                            int8=True, calib_images=images)
+    dets = detect(images)
+    assert dets.boxes.shape[0] == 2
+    assert np.all(np.isfinite(np.asarray(dets.scores)))
 
 
 def test_forward_int8_classifier_matches_f32():

@@ -561,6 +561,88 @@ def test_spatial_v2_train_matches_unsharded(n, S):
 
 
 @pytest.mark.slow
+@pytest.mark.parametrize("n,S", [(2, 4), (2, 3)])
+def test_spatial_v2p_train_matches_unsharded(n, S):
+    """LIVE-BN spatial training of the FULL passthrough/reorg head
+    (spatial_yolo_v2_train_fn(head="v2p")): loss, param grads and the
+    BN moving-stat update through the n-way H-sharded detector must
+    match the unsharded yolo_v2_loss through Darknet19DetectorV2 — the
+    four head ConvBNs run live sync-BN (incl. the passthrough 1×1 on
+    the H/16 mid map, masked at ITS valid height) and the
+    space-to-depth reorg stays shard-local. (2, 3) exercises the
+    pad/mask path at both resolutions (mid valid height 2·S=6 on
+    2×4-row shards). Same f64/threshold rationale as the v2 test."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from tensorflow_yolo2_tpu.config import yolo_v2_config
+    from tensorflow_yolo2_tpu.losses.yolo_v2 import yolo_v2_loss
+    from tensorflow_yolo2_tpu.models.darknet import Darknet19DetectorV2
+    from tensorflow_yolo2_tpu.parallel.spatial import (
+        spatial_yolo_v2_train_fn,
+    )
+
+    with jax.enable_x64():
+        mesh = make_mesh(MeshConfig(data=n, model=1))
+        cfg = dataclasses.replace(yolo_v2_config(32 * S),
+                                  v2_ignore_iou=0.05)
+        model = Darknet19DetectorV2(output_channels=cfg.cell_channels,
+                                    bn_momentum=0.9,
+                                    dtype=jnp.float64,
+                                    param_dtype=jnp.float64)
+        rng = np.random.RandomState(13)
+        x = rng.normal(0, 1, (2, 32 * S, 32 * S, 3))
+        variables = model.init(jax.random.PRNGKey(0), x[:1, :32, :32],
+                               train=False)
+        params, stats = variables["params"], variables["batch_stats"]
+        labels = _yolo_v2_labels(cfg, rng).astype(np.float64)
+        step = jnp.asarray(3, jnp.int32)
+
+        step_fn = spatial_yolo_v2_train_fn(mesh, cfg, bn_momentum=0.9,
+                                           head="v2p")
+
+        def sharded_loss(p):
+            return step_fn(p, stats, x, labels, step)[0]
+
+        def ref_loss(p):
+            grid, _ = model.apply({"params": p, "batch_stats": stats}, x,
+                                  train=True, mutable=["batch_stats"])
+            return yolo_v2_loss(grid, jnp.asarray(labels), cfg,
+                                step=step)[0]
+
+        got = float(sharded_loss(params))
+        want = float(ref_loss(params))
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+
+        _, new_stats = step_fn(params, stats, x, labels, step)
+        _, mut = model.apply({"params": params, "batch_stats": stats}, x,
+                             train=True, mutable=["batch_stats"])
+        want_stats = mut["batch_stats"]
+        assert jax.tree_util.tree_structure(new_stats) == \
+            jax.tree_util.tree_structure(want_stats)
+        for ks, vs in zip(jax.tree_util.tree_leaves_with_path(new_stats),
+                          jax.tree_util.tree_leaves_with_path(want_stats)):
+            np.testing.assert_allclose(np.asarray(ks[1]),
+                                       np.asarray(vs[1]),
+                                       rtol=1e-7, atol=1e-10,
+                                       err_msg=str(ks[0]))
+
+        g_sharded = jax.grad(sharded_loss)(params)
+        g_ref = jax.grad(ref_loss)(params)
+        for (path, gs), (_, gr) in zip(
+                jax.tree_util.tree_leaves_with_path(g_sharded),
+                jax.tree_util.tree_leaves_with_path(g_ref)):
+            gs, gr = np.asarray(gs), np.asarray(gr)
+            scale = np.max(np.abs(gr))
+            if scale < 1e-8:
+                assert np.max(np.abs(gs)) < 1e-8, jax.tree_util.keystr(path)
+                continue
+            err = np.max(np.abs(gs - gr)) / scale
+            assert err < 1e-6, (jax.tree_util.keystr(path), err)
+
+
+@pytest.mark.slow
 def test_spatial_finetune_descends():
     """Optimizing the folded params through the H-sharded loss descends —
     the spatial path trains, not merely matches."""
